@@ -1,0 +1,25 @@
+"""bssm_tpu — TPU-native Bayesian inference for state-space models.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+`bssm` R package (helske/bssm): Kalman-filter marginal MCMC for
+linear-Gaussian models, Laplace/Gaussian approximations, psi-APF and
+bootstrap particle filters, EKF/UKF/EKPF, Milstein-discretised SDEs, and
+approximate MCMC with IS-type post-correction — built for `vmap`-parallel
+chains and particle ensembles sharded over TPU meshes.
+"""
+
+__version__ = "0.1.0"
+
+from .core.spec import (LGSpec, MVLGSpec, NGSpec, MVNGSpec,
+                        SVM, POISSON, BINOMIAL, NEGBIN, GAMMA, GAUSSIAN)
+from .core.priors import (uniform_prior, halfnormal_prior, normal_prior,
+                          tnormal_prior, gamma_prior, PriorStack)
+from .models.bsm import bsm_lg, bsm_ng
+from .models.ar1 import ar1_lg, ar1_ng
+from .models.svm import svm
+from .models.ssm import ssm_ulg, ssm_ung, ssm_mlg, ssm_mng
+from .inference.mcmc import run_mcmc
+from .inference.filters import kfilter, bootstrap_filter, particle_smoother
+from .inference.smoothers import fast_smoother, smoother, sim_smoother
+from .inference.approx import gaussian_approx
+from .inference.loglik import logLik

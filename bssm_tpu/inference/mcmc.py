@@ -1,0 +1,586 @@
+"""MCMC engines: RAM Metropolis with gaussian / approx / IS / PM / DA flavours.
+
+TPU-native re-design of `/root/reference/src/mcmc.cpp` and
+`/root/reference/src/approx_mcmc.cpp`:
+
+- One chain = one `lax.scan` over iterations; **many chains = `vmap`** over a
+  keys axis (sharded over the device mesh by `parallel.chains`), replacing
+  the reference's single chain + OpenMP post-correction threads.
+- Storage is dense per post-burnin iteration (the jump-chain with counts is a
+  compression; dense storage keeps shapes static — SURVEY.md §7.1).  The
+  ``accepted`` flag marks jump-chain heads, so is1/is2/is3 semantics are
+  reproduced exactly (is2 forward-fills head results across duplicates).
+- The IS post-correction phase is an embarrassingly parallel `vmap` over
+  stored draws — the reference's `#pragma omp parallel` loop
+  (`/root/reference/src/approx_mcmc.cpp:353-427`) becomes a batched psi-APF.
+
+Statistical defaults follow the reference: burnin = iter/2, target
+acceptance 0.234, gamma = 2/3, RAM adaptation every iteration unless
+``end_adaptive_phase`` freezes it after burnin.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.spec import LGSpec, NGSpec
+from ..models.base import Model
+from ..ops.resample import ancestor_trace
+from ..ops.simsmooth import simulate_states_single
+from . import approx as approx_mod
+from . import particle as pf_mod
+from .ram import adapt_S
+
+_NEG_INF = -jnp.inf
+
+
+# --------------------------------------------------------------------------
+# generic RAM-MH scan
+# --------------------------------------------------------------------------
+
+class ChainState(NamedTuple):
+    theta: jnp.ndarray
+    lp_prior: jnp.ndarray
+    ll_accept: jnp.ndarray     # log-lik entering the accept ratio
+    ll_ram: jnp.ndarray        # log-lik entering the RAM acceptance prob
+    aux: Any                   # flavour-specific extras carried with theta
+    S: jnp.ndarray
+    key: jnp.ndarray
+
+
+def _ram_scan(logdens: Callable, log_prior: Callable, theta0, S0, key,
+              n_iter: int, burnin: int, target: float, gamma: float,
+              end_ram: bool, aux0):
+    """Run the RAM-MH chain; returns per-iteration storage for all n_iter.
+
+    ``logdens(theta, key, aux_carry) -> (ll_accept, ll_ram, aux)``;
+    aux is a PyTree stored alongside theta (e.g. Laplace mode, state draw).
+    """
+    d = theta0.shape[0]
+    dt = theta0.dtype
+
+    key, k0 = jax.random.split(key)
+    ll_a0, ll_r0, aux_init = logdens(theta0, k0, aux0)
+    lp0 = log_prior(theta0)
+
+    def body(carry: ChainState, i):
+        key, k_u, k_acc, k_den = jax.random.split(carry.key, 4)
+        u = jax.random.normal(k_u, (d,), dt)
+        prop = carry.theta + carry.S @ u
+        lp_prop = log_prior(prop)
+        ok = lp_prop > _NEG_INF
+
+        def eval_prop(_):
+            return logdens(prop, k_den, carry.aux)
+
+        def skip(_):
+            return (jnp.asarray(_NEG_INF, dt), jnp.asarray(_NEG_INF, dt),
+                    carry.aux)
+
+        ll_a_prop, ll_r_prop, aux_prop = jax.lax.cond(ok, eval_prop, skip,
+                                                      None)
+        ram_diff = ll_r_prop - carry.ll_ram + lp_prop - carry.lp_prior
+        acc_prob = jnp.where(ok, jnp.minimum(1.0, jnp.exp(ram_diff)), 0.0)
+        acc_diff = ll_a_prop - carry.ll_accept + lp_prop - carry.lp_prior
+        accept = ok & (jnp.log(jax.random.uniform(k_acc, (), dt)) < acc_diff)
+
+        new = ChainState(
+            theta=jnp.where(accept, prop, carry.theta),
+            lp_prior=jnp.where(accept, lp_prop, carry.lp_prior),
+            ll_accept=jnp.where(accept, ll_a_prop, carry.ll_accept),
+            ll_ram=jnp.where(accept, ll_r_prop, carry.ll_ram),
+            aux=jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), aux_prop, carry.aux),
+            S=carry.S, key=key)
+
+        do_adapt = jnp.asarray(True) if not end_ram else (i <= burnin)
+        S_new = adapt_S(carry.S, u, acc_prob, target, i, gamma)
+        new = new._replace(S=jnp.where(do_adapt, S_new, carry.S))
+
+        ys = (new.theta, new.lp_prior, new.ll_accept, accept, new.aux)
+        return new, ys
+
+    init = ChainState(theta0, lp0, ll_a0, ll_r0, aux_init, S0, key)
+    final, ys = jax.lax.scan(body, init, jnp.arange(1, n_iter + 1))
+    thetas, lps, lls, accepted, auxs = ys
+    return final, thetas, lps, lls, accepted, auxs
+
+
+# --------------------------------------------------------------------------
+# results container
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class McmcOutput:
+    """Posterior sample container (dense storage, chain axis first).
+
+    theta is reported in the *natural* space (log-sampled parameters
+    exponentiated back, `/root/reference/R/run_mcmc.R:255-261`)."""
+    theta: np.ndarray            # (chains, S, d)
+    posterior: np.ndarray        # (chains, S)
+    accepted: np.ndarray         # (chains, S) jump-chain head flags
+    acceptance_rate: float
+    S: np.ndarray                # (chains, d, d) final RAM factors
+    theta_names: tuple
+    mcmc_type: str
+    output_type: str
+    iter: int
+    burnin: int
+    thin: int
+    alpha: Optional[np.ndarray] = None       # (chains, S, n+1, m) draws
+    alphahat: Optional[np.ndarray] = None    # (n+1, m) weighted smoothed mean
+    Vt: Optional[np.ndarray] = None          # (n+1, m, m)
+    weights: Optional[np.ndarray] = None     # (chains, S) IS weights
+    modes: Optional[np.ndarray] = None       # (chains, S, n) Laplace modes
+    approx_loglik: Optional[np.ndarray] = None
+    prior: Optional[np.ndarray] = None
+    time: Optional[dict] = None
+
+    @property
+    def counts(self) -> np.ndarray:
+        return np.ones_like(self.posterior, dtype=np.int64)
+
+    def flat_theta(self) -> np.ndarray:
+        return self.theta.reshape(-1, self.theta.shape[-1])
+
+    def flat_weights(self) -> np.ndarray:
+        if self.weights is None:
+            return np.ones(self.posterior.size)
+        return self.weights.reshape(-1)
+
+
+def _slots(n_iter: int, burnin: int, thin: int) -> np.ndarray:
+    idx = np.arange(burnin, n_iter, thin)
+    return idx
+
+
+def _forward_fill_heads(x, accepted):
+    """Replace each slot's value with the most recent head slot's value.
+    x: (S, ...); accepted: (S,) bool (slot 0 treated as head)."""
+    S = accepted.shape[0]
+    ar = jnp.arange(S)
+    heads = jnp.where(accepted | (ar == 0), ar, -1)
+    src = jax.lax.associative_scan(jnp.maximum, heads)
+    return jax.tree_util.tree_map(lambda a: a[src], x)
+
+
+# --------------------------------------------------------------------------
+# linear-Gaussian marginal MCMC
+# --------------------------------------------------------------------------
+
+def _gaussian_chain(model: Model, n_iter, burnin, thin, target, gamma,
+                    end_ram, output_type):
+    from ..ops import kalman
+
+    def logdens(theta, key, aux):
+        spec = model.build(theta)
+        ll = kalman.log_likelihood(spec)
+        return ll, ll, aux
+
+    def chain(key, theta0, S0):
+        final, thetas, lps, lls, accepted, _ = _ram_scan(
+            logdens, model.log_prior, theta0, S0, key, n_iter, burnin,
+            target, gamma, end_ram, aux0=())
+        sl = _slots(n_iter, burnin, thin)
+        out = dict(theta=thetas[sl], posterior=(lps + lls)[sl],
+                   accepted=accepted[sl], S=final.S,
+                   acc_rate=jnp.mean(accepted[burnin:].astype(jnp.float32)))
+        if output_type == "full":
+            keys = jax.random.split(final.key, len(sl))
+
+            def draw(th, k):
+                return simulate_states_single(model.build(th), k)
+
+            out["alpha"] = jax.vmap(draw)(out["theta"], keys)
+        elif output_type == "summary":
+            def smooth(th):
+                sm = kalman.smoother(model.build(th))
+                return sm.alphahat, sm.Vt
+
+            ahat, vts = jax.lax.map(smooth, out["theta"], batch_size=64)
+            mean = jnp.mean(ahat, axis=0)
+            dev = ahat - mean
+            vt = (jnp.mean(vts, axis=0)
+                  + jnp.einsum('sti,stj->tij', dev, dev) / ahat.shape[0])
+            out["alphahat"], out["Vt"] = mean, vt
+        return out
+
+    return chain
+
+
+# --------------------------------------------------------------------------
+# non-Gaussian: approximate MCMC (phase 1)
+# --------------------------------------------------------------------------
+
+def _approx_chain(model: Model, n_iter, burnin, thin, target, gamma,
+                  end_ram, conv_tol, max_iter):
+    def logdens(theta, key, aux):
+        spec = model.build(theta)
+        al = approx_mod.approx_loglik(spec, conv_tol=conv_tol,
+                                      max_iter=max_iter)
+        return al.loglik, al.loglik, al.approx.mode
+
+    def chain(key, theta0, S0):
+        spec0 = model.build(theta0)
+        aux0 = spec0.initial_mode.astype(spec0.y.dtype)
+        final, thetas, lps, lls, accepted, modes = _ram_scan(
+            logdens, model.log_prior, theta0, S0, key, n_iter, burnin,
+            target, gamma, end_ram, aux0=aux0)
+        sl = _slots(n_iter, burnin, thin)
+        return dict(theta=thetas[sl], prior=lps[sl], approx_ll=lls[sl],
+                    accepted=accepted[sl], modes=modes[sl], S=final.S,
+                    key=final.key,
+                    acc_rate=jnp.mean(accepted[burnin:].astype(jnp.float32)))
+
+    return chain
+
+
+# --------------------------------------------------------------------------
+# non-Gaussian: IS post-correction (phase 2)
+# --------------------------------------------------------------------------
+
+def _is_correction(model: Model, stored, nsim, sampling_method, is_type,
+                   output_type, key, batch_size=None):
+    """Batched psi/bsf/spdk correction over stored draws
+    (`/root/reference/src/approx_mcmc.cpp:353-427,447-518,606-678`)."""
+    thetas = stored["theta"]                     # (S, d)
+    modes = stored["modes"]                      # (S, n)
+    Ns = thetas.shape[0]
+    keys = jax.random.split(key, Ns)
+
+    def correct_one(args):
+        theta_i, mode_i, key_i = args
+        spec = model.build(theta_i)
+        ar = approx_mod.approximate_for_is(spec, mode_i)
+        sc = jnp.where(spec.obs_mask,
+                       approx_mod.fam.scales(
+                           spec.distribution, spec.y, spec.u, spec.phi,
+                           ar.mode, ar.ytilde, ar.Htilde), 0.0)
+        zero = jnp.zeros((), spec.y.dtype)
+        al = approx_mod.ApproxLoglik(ar, sc, zero, zero)
+        k_pf, k_draw = jax.random.split(key_i)
+        if sampling_method == "psi":
+            pf = pf_mod.psi_filter(spec, al, nsim, k_pf)
+            log_w = pf.loglik          # approx_loglik set to 0 -> correction
+            traced = ancestor_trace(pf.alpha, pf.indices)
+            final_w = pf.weights[:, -1]
+        elif sampling_method == "bsf":
+            pf = pf_mod.bsf_filter(spec, nsim, k_pf)
+            log_w = pf.loglik          # minus approx_ll applied by caller
+            traced = ancestor_trace(pf.alpha, pf.indices)
+            final_w = pf.weights[:, -1]
+        elif sampling_method == "spdk":
+            r = pf_mod.spdk_sample(spec, al, nsim, k_pf)
+            log_w = r.loglik
+            traced = r.alpha
+            final_w = r.weights
+        else:
+            raise ValueError(sampling_method)
+        idx = jax.random.categorical(k_draw, jnp.log(final_w + 1e-300))
+        alpha_draw = traced[idx]                       # (n+1, m)
+        mean_i = jnp.einsum('i,itm->tm', final_w, traced) / jnp.sum(final_w)
+        dev = traced - mean_i
+        Vt_i = jnp.einsum('i,itm,itk->tmk', final_w, dev, dev) \
+            / jnp.sum(final_w)
+        return log_w, alpha_draw, mean_i, Vt_i
+
+    bs = batch_size or min(Ns, 256)
+    log_w, alpha_draw, mean_i, Vt_i = jax.lax.map(
+        correct_one, (thetas, modes, keys), batch_size=bs)
+
+    if sampling_method == "bsf":
+        log_w = log_w - stored["approx_ll"]
+
+    if is_type == 2:
+        # one correction per jump-chain head, shared across duplicates
+        fill = _forward_fill_heads((log_w, alpha_draw, mean_i, Vt_i),
+                                   stored["accepted"])
+        log_w, alpha_draw, mean_i, Vt_i = fill
+
+    return dict(log_w=log_w, alpha=alpha_draw, mean=mean_i, Vt=Vt_i)
+
+
+# --------------------------------------------------------------------------
+# non-Gaussian: pseudo-marginal and delayed-acceptance MCMC
+# --------------------------------------------------------------------------
+
+def _pf_loglik(model: Model, theta, key, nsim, sampling_method, conv_tol,
+               max_iter):
+    """(exact_ll, approx_ll, sampled trajectory) for one theta
+    (`/root/reference/src/model_ssm_ung.cpp:164-236`)."""
+    spec = model.build(theta)
+    k_pf, k_draw = jax.random.split(key)
+    if sampling_method == "bsf":
+        pf = pf_mod.bsf_filter(spec, nsim, k_pf)
+        traced = ancestor_trace(pf.alpha, pf.indices)
+        idx = jax.random.categorical(k_draw,
+                                     jnp.log(pf.weights[:, -1] + 1e-300))
+        return pf.loglik, pf.loglik, traced[idx]
+    al = approx_mod.approx_loglik(spec, conv_tol=conv_tol, max_iter=max_iter)
+    if sampling_method == "psi":
+        pf = pf_mod.psi_filter(spec, al, nsim, k_pf)
+        traced = ancestor_trace(pf.alpha, pf.indices)
+        idx = jax.random.categorical(k_draw,
+                                     jnp.log(pf.weights[:, -1] + 1e-300))
+        return pf.loglik, al.loglik, traced[idx]
+    r = pf_mod.spdk_sample(spec, al, nsim, k_pf)
+    idx = jax.random.categorical(k_draw, jnp.log(r.weights + 1e-300))
+    return r.loglik, al.loglik, r.alpha[idx]
+
+
+def _pm_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
+              nsim, sampling_method, conv_tol, max_iter, output_type):
+    spec0 = model.build(model.theta_init)
+    m = spec0.m
+    n = spec0.n
+    store_alpha = output_type == "full"
+
+    def logdens(theta, key, aux):
+        ll, all_, alpha = _pf_loglik(model, theta, key, nsim,
+                                     sampling_method, conv_tol, max_iter)
+        aux_new = alpha if store_alpha else ()
+        return ll, all_, aux_new
+
+    def chain(key, theta0, S0):
+        aux0 = jnp.zeros((n + 1, m), spec0.y.dtype) if store_alpha else ()
+        final, thetas, lps, lls, accepted, auxs = _ram_scan(
+            logdens, model.log_prior, theta0, S0, key, n_iter, burnin,
+            target, gamma, end_ram, aux0=aux0)
+        sl = _slots(n_iter, burnin, thin)
+        out = dict(theta=thetas[sl], posterior=(lps + lls)[sl],
+                   accepted=accepted[sl], S=final.S,
+                   acc_rate=jnp.mean(accepted[burnin:].astype(jnp.float32)))
+        if store_alpha:
+            out["alpha"] = auxs[sl]
+        return out
+
+    return chain
+
+
+def _da_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
+              nsim, sampling_method, conv_tol, max_iter, output_type):
+    """Delayed acceptance: stage 1 on the approximate posterior, stage 2
+    corrects with the PF estimate (`/root/reference/src/mcmc.cpp:530-685`)."""
+    spec0 = model.build(model.theta_init)
+    m, n = spec0.m, spec0.n
+    dt = spec0.y.dtype
+    store_alpha = output_type == "full"
+    d = model.theta_init.shape[0]
+
+    def full_eval(theta, key):
+        return _pf_loglik(model, theta, key, nsim, sampling_method,
+                          conv_tol, max_iter)
+
+    def chain(key, theta0, S0):
+        key, k0 = jax.random.split(key)
+        ll0, all0, alpha0 = full_eval(theta0, k0)
+        lp0 = model.log_prior(theta0)
+
+        def body(carry, i):
+            theta, lp, ll, ll_approx, alpha_cur, S, key = carry
+            key, k_u, k_a1, k_a2, k_den = jax.random.split(key, 5)
+            u = jax.random.normal(k_u, (d,), dt)
+            prop = theta + S @ u
+            lp_prop = model.log_prior(prop)
+            ok = lp_prop > _NEG_INF
+
+            def stage1(_):
+                spec = model.build(prop)
+                al = approx_mod.approx_loglik(spec, conv_tol=conv_tol,
+                                              max_iter=max_iter)
+                return al.loglik
+
+            ll_approx_prop = jax.lax.cond(
+                ok, stage1, lambda _: jnp.asarray(_NEG_INF, dt), None)
+            acc_prob = jnp.where(
+                ok, jnp.minimum(1.0, jnp.exp(
+                    ll_approx_prop - ll_approx + lp_prop - lp)), 0.0)
+            pass1 = jax.random.uniform(k_a1, (), dt) < acc_prob
+
+            def stage2(_):
+                ll_prop, _, alpha_prop = full_eval(prop, k_den)
+                log_alpha = ll_prop + ll_approx - ll - ll_approx_prop
+                acc2 = jnp.log(jax.random.uniform(k_a2, (), dt)) < log_alpha
+                return acc2, ll_prop, alpha_prop
+
+            def no2(_):
+                return jnp.asarray(False), jnp.asarray(_NEG_INF, dt), \
+                    alpha_cur
+
+            accept, ll_prop, alpha_prop = jax.lax.cond(pass1, stage2, no2,
+                                                       None)
+            theta = jnp.where(accept, prop, theta)
+            lp = jnp.where(accept, lp_prop, lp)
+            ll = jnp.where(accept, ll_prop, ll)
+            ll_approx = jnp.where(accept, ll_approx_prop, ll_approx)
+            alpha_cur = jnp.where(accept, alpha_prop, alpha_cur)
+            S = adapt_S(S, u, acc_prob, target, i, gamma) \
+                if not end_ram else jnp.where(i <= burnin,
+                                              adapt_S(S, u, acc_prob,
+                                                      target, i, gamma), S)
+            ys = (theta, lp, ll, accept, alpha_cur if store_alpha else ())
+            return (theta, lp, ll, ll_approx, alpha_cur, S, key), ys
+
+        init = (theta0, lp0, ll0, all0, alpha0, S0, key)
+        final, ys = jax.lax.scan(body, init, jnp.arange(1, n_iter + 1))
+        thetas, lps, lls, accepted, alphas = ys
+        sl = _slots(n_iter, burnin, thin)
+        out = dict(theta=thetas[sl], posterior=(lps + lls)[sl],
+                   accepted=accepted[sl], S=final[5],
+                   acc_rate=jnp.mean(accepted[burnin:].astype(jnp.float32)))
+        if store_alpha:
+            out["alpha"] = alphas[sl]
+        return out
+
+    return chain
+
+
+# --------------------------------------------------------------------------
+# public driver
+# --------------------------------------------------------------------------
+
+def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
+             thin: int = 1, particles: int = 0, mcmc_type: Optional[str] = None,
+             sampling_method: Optional[str] = None,
+             target_acceptance: float = 0.234, gamma: float = 2.0 / 3.0,
+             S: Optional[jnp.ndarray] = None, end_adaptive_phase: bool = False,
+             output_type: str = "full", n_chains: int = 1,
+             seed: int = 1, conv_tol: float = 1e-8, max_iter: int = 100,
+             theta_init: Optional[jnp.ndarray] = None) -> McmcOutput:
+    """Bayesian inference via adaptive MCMC (`/root/reference/R/run_mcmc.R`).
+
+    mcmc_type: lg models -> "gaussian"; ng models: "is2" (default), "is1",
+    "is3", "approx", "pm", "da".  sampling_method: "psi" (default), "bsf",
+    "spdk".
+    """
+    import time as _time
+    t0 = _time.time()
+
+    if burnin is None:
+        burnin = iter // 2
+    if model.kind in ("lg", "mlg"):
+        mcmc_type = mcmc_type or "gaussian"
+    else:
+        mcmc_type = mcmc_type or "is2"
+        sampling_method = sampling_method or "psi"
+        if mcmc_type != "approx" and particles < 2:
+            raise ValueError("particles >= 2 required for non-approx MCMC")
+
+    theta0 = model.theta_init if theta_init is None else theta_init
+    S0 = model.initial_S() if S is None else jnp.asarray(S)
+    S0 = S0.astype(theta0.dtype)
+    key = jax.random.PRNGKey(seed)
+    chain_keys = jax.random.split(key, n_chains + 1)
+    is_key, chain_keys = chain_keys[0], chain_keys[1:]
+
+    common = dict(n_iter=iter, burnin=burnin, thin=thin,
+                  target=target_acceptance, gamma=gamma,
+                  end_ram=end_adaptive_phase)
+
+    if mcmc_type == "gaussian":
+        chain = _gaussian_chain(model, output_type=output_type, **common)
+    elif mcmc_type in ("approx", "is1", "is2", "is3"):
+        chain = _approx_chain(model, conv_tol=conv_tol, max_iter=max_iter,
+                              **common)
+    elif mcmc_type == "pm":
+        chain = _pm_chain(model, nsim=particles,
+                          sampling_method=sampling_method,
+                          conv_tol=conv_tol, max_iter=max_iter,
+                          output_type=output_type, **common)
+    elif mcmc_type == "da":
+        chain = _da_chain(model, nsim=particles,
+                          sampling_method=sampling_method,
+                          conv_tol=conv_tol, max_iter=max_iter,
+                          output_type=output_type, **common)
+    else:
+        raise ValueError(f"unknown mcmc_type {mcmc_type}")
+
+    run = jax.jit(jax.vmap(lambda k: chain(k, theta0, S0)))
+    res = run(chain_keys)
+    t_mcmc = _time.time() - t0
+
+    posterior0 = (np.asarray(res["posterior"]) if "posterior" in res
+                  else np.zeros(res["theta"].shape[:2]))
+    out = McmcOutput(
+        theta=np.asarray(model.to_natural(res["theta"])),
+        posterior=posterior0,
+        accepted=np.asarray(res["accepted"]),
+        acceptance_rate=float(np.mean(np.asarray(res["acc_rate"]))),
+        S=np.asarray(res["S"]),
+        theta_names=model.theta_names, mcmc_type=mcmc_type,
+        output_type=output_type, iter=iter, burnin=burnin, thin=thin)
+
+    if mcmc_type == "gaussian":
+        if output_type == "full":
+            out.alpha = np.asarray(res["alpha"])
+        elif output_type == "summary":
+            out.alphahat = np.asarray(jnp.mean(res["alphahat"], axis=0))
+            out.Vt = np.asarray(jnp.mean(res["Vt"], axis=0))
+    elif mcmc_type in ("pm", "da"):
+        if output_type == "full":
+            out.alpha = np.asarray(res["alpha"])
+    elif mcmc_type == "approx":
+        out.prior = np.asarray(res["prior"])
+        out.approx_loglik = np.asarray(res["approx_ll"])
+        out.posterior = out.prior + out.approx_loglik
+        if output_type == "full":
+            t1 = _time.time()
+            draws = _approx_state_draws(model, res, is_key)
+            out.alpha = np.asarray(draws)
+        out.modes = np.asarray(res["modes"])
+    else:  # is1 / is2 / is3
+        out.prior = np.asarray(res["prior"])
+        out.approx_loglik = np.asarray(res["approx_ll"])
+        out.modes = np.asarray(res["modes"])
+        t1 = _time.time()
+        is_type = int(mcmc_type[-1])
+        corr_keys = jax.random.split(is_key, n_chains)
+        corr = jax.jit(jax.vmap(
+            lambda k, th, mo, al, ac: _is_correction(
+                model, dict(theta=th, modes=mo, approx_ll=al, accepted=ac),
+                particles, sampling_method, is_type, output_type, k)))(
+            corr_keys, res["theta"], res["modes"], res["approx_ll"],
+            res["accepted"])
+        log_w = np.asarray(corr["log_w"])
+        out.weights = np.exp(log_w)
+        out.posterior = out.prior + out.approx_loglik + log_w
+        if output_type == "full":
+            out.alpha = np.asarray(corr["alpha"])
+        elif output_type == "summary":
+            w = out.weights.reshape(-1)
+            means = np.asarray(corr["mean"]).reshape((-1,) +
+                                                     corr["mean"].shape[2:])
+            vts = np.asarray(corr["Vt"]).reshape((-1,) + corr["Vt"].shape[2:])
+            sw = np.sum(w)
+            mean = np.einsum('s,stm->tm', w, means) / sw
+            dev = means - mean
+            out.alphahat = mean
+            out.Vt = (np.einsum('s,stmk->tmk', w, vts)
+                      + np.einsum('s,stm,stk->tmk', w, dev, dev)) / sw
+        out.time = {"mcmc": t_mcmc, "correction": _time.time() - t1}
+
+    if out.time is None:
+        out.time = {"mcmc": t_mcmc}
+    return out
+
+
+def _approx_state_draws(model: Model, res, key):
+    """Draws from the approximating Gaussian posterior for mcmc_type='approx'
+    (`/root/reference/src/approx_mcmc.cpp:1400-1462`)."""
+    thetas = res["theta"]                      # (chains, S, d)
+    modes = res["modes"]
+    C, Ns = thetas.shape[0], thetas.shape[1]
+    keys = jax.random.split(key, C * Ns).reshape(C, Ns, 2)
+
+    def draw_one(theta_i, mode_i, k):
+        spec = model.build(theta_i)
+        ar = approx_mod.approximate_for_is(spec, mode_i)
+        g = ar.gaussian(spec)
+        return simulate_states_single(g, k)
+
+    f = jax.jit(jax.vmap(jax.vmap(draw_one)))
+    return f(thetas, modes, keys)

@@ -1,0 +1,279 @@
+"""Particle filters: psi-APF, bootstrap, and SPDK importance sampling.
+
+TPU-native re-design of `/root/reference/src/model_ssm_ung.cpp:511-712` and
+`/root/reference/src/model_ssm_ulg.cpp:557-672`:
+
+- the particle axis is fully vectorised (`vmap`-free batched algebra on the
+  VPU/MXU); the only sequential axis is time (`lax.scan`);
+- stratified resampling happens every step exactly as in the reference
+  (no ESS adaptivity) so statistics match;
+- log-sum-exp weight normalisation with max-shift, degenerate ensembles
+  collapse the log-likelihood to -inf instead of erroring;
+- RNG is a threefry key per (step, purpose) — replaces the sequential
+  sitmo engine draws.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import distributions as fam
+from ..core.spec import LGSpec, NGSpec, SVM
+from ..ops.chol import conditional_cov_factors, psd_chol
+from ..ops.kalman import smoother as kalman_smoother
+from ..ops.resample import stratified_indices
+from .approx import ApproxLoglik
+
+
+class PFResult(NamedTuple):
+    loglik: jnp.ndarray
+    alpha: jnp.ndarray     # (N, n+1, m) particle trajectories (pre-tracing)
+    weights: jnp.ndarray   # (N, n+1) normalised weights per time
+    indices: jnp.ndarray   # (N, n) resampling ancestors
+
+
+def _lse_update(logw, N, dtype):
+    mx = jnp.max(logw)
+    w = jnp.exp(logw - mx)
+    sw = jnp.sum(w)
+    ok = (sw > 0) & jnp.isfinite(mx)
+    inc = jnp.where(ok, mx + jnp.log(sw / N), -jnp.inf)
+    normw = jnp.where(ok, w / jnp.where(sw > 0, sw, 1.0),
+                      jnp.ones_like(w) / N)
+    return inc.astype(dtype), normw
+
+
+def _bc(A, n):
+    return jnp.broadcast_to(A, (n,) + A.shape[1:]) if A.shape[0] == 1 else A
+
+
+def _signals(spec, alpha_particles, Z_t, D_t):
+    """Per-particle signal at one time: alpha (N, m) -> (N,)."""
+    if spec.distribution == SVM:
+        return alpha_particles[:, 0]
+    return D_t + alpha_particles @ Z_t
+
+
+def psi_filter(spec: NGSpec, al: ApproxLoglik, nsim: int, key) -> PFResult:
+    """psi-auxiliary particle filter twisted by the Gaussian approximation
+    (`/root/reference/src/model_ssm_ung.cpp:511-609`).
+
+    Proposal: the smoothing distribution of the approximating LG model,
+    factorised into conditionals N(ahat_t + A_t (a_{t-1} - ahat_{t-1}),
+    L_t L_t') via the smoother cross-covariances."""
+    n, m = spec.n, spec.m
+    dt = spec.y.dtype
+    g = al.approx.gaussian(spec)
+    sm = kalman_smoother(g)
+    Lcond, Acond = conditional_cov_factors(sm.Vt, sm.ccov)
+    ahat = sm.alphahat                                     # (n+1, m)
+
+    Zb = _bc(spec.Z, n)
+    Db = _bc(spec.D.astype(dt), n)
+    scl = al.scales
+
+    key, k0 = jax.random.split(key)
+    u0 = jax.random.normal(k0, (nsim, m), dt)
+    alpha0 = ahat[0] + u0 @ Lcond[0].T
+
+    def weight_at(t_idx, alpha_p, y_t, u_t, Z_t, D_t, yt_t, H_t, sc_t):
+        s = _signals(spec, alpha_p, Z_t, D_t)
+        lw = fam.log_weights(spec.distribution, y_t, u_t, spec.phi,
+                             s, yt_t, H_t) - sc_t
+        return lw
+
+    y0ok = jnp.isfinite(spec.y[0])
+    lw0 = weight_at(0, alpha0, spec.y[0], spec.u[0], Zb[0], Db[0],
+                    al.approx.ytilde[0], al.approx.Htilde[0], scl[0])
+    inc0, nw0 = _lse_update(jnp.where(y0ok, lw0, 0.0), nsim, dt)
+    loglik0 = al.loglik + jnp.where(y0ok, inc0, 0.0)
+    nw0 = jnp.where(y0ok, nw0, jnp.ones((nsim,), dt) / nsim)
+    w_col0 = nw0
+
+    # per-step observation arrays for t+1 (padded: index n -> missing)
+    pad_nan = jnp.full((1,), jnp.nan, dt)
+    y_next = jnp.concatenate([spec.y[1:], pad_nan])
+    u_next = jnp.concatenate([spec.u[1:], jnp.ones((1,), dt)])
+    yt_next = jnp.concatenate([al.approx.ytilde[1:], pad_nan])
+    H_next = jnp.concatenate([al.approx.Htilde[1:], jnp.ones((1,), dt)])
+    sc_next = jnp.concatenate([scl[1:], jnp.zeros((1,), dt)])
+    Z_next = jnp.concatenate([Zb[1:], Zb[-1:]])
+    D_next = jnp.concatenate([Db[1:], Db[-1:]])
+
+    keys = jax.random.split(key, n)
+
+    def step(carry, xs):
+        alpha_t, nw, ll = carry
+        (kt, ahat_t, ahat_n, A_n, L_n, y_n, u_n, yt_n, H_n, sc_n,
+         Z_n, D_n) = xs
+        kr, kp = jax.random.split(kt)
+        idx = stratified_indices(nw, kr)
+        anc = alpha_t[idx]
+        um = jax.random.normal(kp, (nsim, m), dt)
+        alpha_next = ahat_n + (anc - ahat_t) @ A_n.T + um @ L_n.T
+        ok = jnp.isfinite(y_n)
+        lw = weight_at(None, alpha_next, y_n, u_n, Z_n, D_n, yt_n, H_n, sc_n)
+        inc, nw_new = _lse_update(jnp.where(ok, lw, 0.0), nsim, dt)
+        ll = ll + jnp.where(ok, inc, 0.0)
+        nw_new = jnp.where(ok, nw_new, jnp.ones((nsim,), dt) / nsim)
+        return (alpha_next, nw_new, ll), (alpha_next, nw_new, idx)
+
+    xs = (keys, ahat[:-1], ahat[1:], Acond[1:], Lcond[1:],
+          y_next, u_next, yt_next, H_next, sc_next, Z_next, D_next)
+    (_, _, loglik), (alphas, nws, idxs) = jax.lax.scan(
+        step, (alpha0, nw0, loglik0), xs)
+
+    alpha = jnp.concatenate([alpha0[None], alphas], axis=0)   # (n+1, N, m)
+    weights = jnp.concatenate([w_col0[None], nws], axis=0)    # (n+1, N)
+    return PFResult(loglik, jnp.swapaxes(alpha, 0, 1),
+                    weights.T, idxs.T)
+
+
+def _prior_particles(a1, P1, nsim, key, dt):
+    L = psd_chol(P1)
+    u = jax.random.normal(key, (nsim, a1.shape[0]), dt)
+    return a1 + u @ L.T
+
+
+def bsf_filter(spec: NGSpec, nsim: int, key) -> PFResult:
+    """Bootstrap particle filter for non-Gaussian models
+    (`/root/reference/src/model_ssm_ung.cpp:611-712`)."""
+    n, m, k = spec.n, spec.m, spec.k
+    dt = spec.y.dtype
+
+    Zb, Db = _bc(spec.Z, n), _bc(spec.D.astype(dt), n)
+    Tb, Cb = _bc(spec.T, n), _bc(spec.C, n)
+    Rb = _bc(spec.R, n)
+
+    key, k0 = jax.random.split(key)
+    alpha0 = _prior_particles(spec.a1, spec.P1, nsim, k0, dt)
+
+    def dens_at(alpha_p, y_t, u_t, Z_t, D_t):
+        s = _signals(spec, alpha_p, Z_t, D_t)
+        return fam.log_obs_density(spec.distribution, y_t, u_t, spec.phi, s)
+
+    y0ok = jnp.isfinite(spec.y[0])
+    lw0 = dens_at(alpha0, spec.y[0], spec.u[0], Zb[0], Db[0])
+    inc0, nw0 = _lse_update(jnp.where(y0ok, lw0, 0.0), nsim, dt)
+    loglik0 = jnp.where(y0ok, inc0, 0.0)
+    nw0 = jnp.where(y0ok, nw0, jnp.ones((nsim,), dt) / nsim)
+
+    pad_nan = jnp.full((1,), jnp.nan, dt)
+    y_next = jnp.concatenate([spec.y[1:], pad_nan])
+    u_next = jnp.concatenate([spec.u[1:], jnp.ones((1,), dt)])
+    Z_next = jnp.concatenate([Zb[1:], Zb[-1:]])
+    D_next = jnp.concatenate([Db[1:], Db[-1:]])
+
+    keys = jax.random.split(key, n)
+
+    def step(carry, xs):
+        alpha_t, nw, ll = carry
+        kt, T_t, C_t, R_t, y_n, u_n, Z_n, D_n = xs
+        kr, kp = jax.random.split(kt)
+        idx = stratified_indices(nw, kr)
+        anc = alpha_t[idx]
+        eta = jax.random.normal(kp, (nsim, R_t.shape[1]), dt)
+        alpha_next = C_t + anc @ T_t.T + eta @ R_t.T
+        ok = jnp.isfinite(y_n)
+        lw = dens_at(alpha_next, y_n, u_n, Z_n, D_n)
+        inc, nw_new = _lse_update(jnp.where(ok, lw, 0.0), nsim, dt)
+        ll = ll + jnp.where(ok, inc, 0.0)
+        nw_new = jnp.where(ok, nw_new, jnp.ones((nsim,), dt) / nsim)
+        return (alpha_next, nw_new, ll), (alpha_next, nw_new, idx)
+
+    xs = (keys, Tb, Cb, Rb, y_next, u_next, Z_next, D_next)
+    (_, _, loglik), (alphas, nws, idxs) = jax.lax.scan(
+        step, (alpha0, nw0, loglik0), xs)
+
+    loglik = loglik + fam.obs_log_const(spec.distribution, spec.y, spec.u,
+                                        spec.phi)
+    alpha = jnp.concatenate([alpha0[None], alphas], axis=0)
+    weights = jnp.concatenate([nw0[None], nws], axis=0)
+    return PFResult(loglik, jnp.swapaxes(alpha, 0, 1), weights.T, idxs.T)
+
+
+def bsf_filter_lg(spec: LGSpec, nsim: int, key) -> PFResult:
+    """Bootstrap filter for a linear-Gaussian model (testing / parity with
+    `/root/reference/src/model_ssm_ulg.cpp:557-643`)."""
+    n, m = spec.n, spec.m
+    dt = spec.y.dtype
+    Zb, Db = _bc(spec.Z, n), _bc(spec.D.astype(dt), n)
+    Tb, Cb, Rb = _bc(spec.T, n), _bc(spec.C, n), _bc(spec.R, n)
+    HHb = _bc(spec.HH, n)
+
+    key, k0 = jax.random.split(key)
+    alpha0 = _prior_particles(spec.a1, spec.P1, nsim, k0, dt)
+
+    def dens_at(alpha_p, y_t, Z_t, D_t, HH_t):
+        mu = D_t + alpha_p @ Z_t
+        return -0.5 * jnp.square(y_t - mu) / HH_t
+
+    y0ok = jnp.isfinite(spec.y[0])
+    lw0 = dens_at(alpha0, spec.y[0], Zb[0], Db[0], HHb[0])
+    inc0, nw0 = _lse_update(jnp.where(y0ok, lw0, 0.0), nsim, dt)
+    loglik0 = jnp.where(y0ok, inc0 - 0.5 * fam.LOG2PI
+                        - 0.5 * jnp.log(HHb[0]), 0.0)
+    nw0 = jnp.where(y0ok, nw0, jnp.ones((nsim,), dt) / nsim)
+
+    pad_nan = jnp.full((1,), jnp.nan, dt)
+    y_next = jnp.concatenate([spec.y[1:], pad_nan])
+    Z_next = jnp.concatenate([Zb[1:], Zb[-1:]])
+    D_next = jnp.concatenate([Db[1:], Db[-1:]])
+    HH_next = jnp.concatenate([HHb[1:], jnp.ones((1,), dt)])
+
+    keys = jax.random.split(key, n)
+
+    def step(carry, xs):
+        alpha_t, nw, ll = carry
+        kt, T_t, C_t, R_t, y_n, Z_n, D_n, HH_n = xs
+        kr, kp = jax.random.split(kt)
+        idx = stratified_indices(nw, kr)
+        anc = alpha_t[idx]
+        eta = jax.random.normal(kp, (nsim, R_t.shape[1]), dt)
+        alpha_next = C_t + anc @ T_t.T + eta @ R_t.T
+        ok = jnp.isfinite(y_n)
+        lw = dens_at(alpha_next, y_n, Z_n, D_n, HH_n)
+        inc, nw_new = _lse_update(jnp.where(ok, lw, 0.0), nsim, dt)
+        ll = ll + jnp.where(ok, inc - 0.5 * fam.LOG2PI
+                            - 0.5 * jnp.log(HH_n), 0.0)
+        nw_new = jnp.where(ok, nw_new, jnp.ones((nsim,), dt) / nsim)
+        return (alpha_next, nw_new, ll), (alpha_next, nw_new, idx)
+
+    xs = (keys, Tb, Cb, Rb, y_next, Z_next, D_next, HH_next)
+    (_, _, loglik), (alphas, nws, idxs) = jax.lax.scan(
+        step, (alpha0, nw0, loglik0), xs)
+    alpha = jnp.concatenate([alpha0[None], alphas], axis=0)
+    weights = jnp.concatenate([nw0[None], nws], axis=0)
+    return PFResult(loglik, jnp.swapaxes(alpha, 0, 1), weights.T, idxs.T)
+
+
+class SPDKResult(NamedTuple):
+    loglik: jnp.ndarray
+    alpha: jnp.ndarray     # (N, n+1, m) independent smoother draws
+    weights: jnp.ndarray   # (N,) normalised importance weights
+
+
+def spdk_sample(spec: NGSpec, al: ApproxLoglik, nsim: int, key,
+                antithetic: bool = True) -> SPDKResult:
+    """Shephard-Pitt-Durbin-Koopman importance sampling: simulate from the
+    approximating model's smoothing distribution and weight by the density
+    ratio (`/root/reference/src/model_ssm_ung.cpp:199-211`)."""
+    from ..ops.simsmooth import simulate_states
+    n = spec.n
+    dt = spec.y.dtype
+    g = al.approx.gaussian(spec)
+    alpha = simulate_states(g, nsim, key, use_antithetic=antithetic)
+    Zb, Db = _bc(spec.Z, n), _bc(spec.D.astype(dt), n)
+    if spec.distribution == SVM:
+        sig = alpha[:, :n, 0]
+    else:
+        sig = Db + jnp.einsum('itm,tm->it', alpha[:, :n, :], Zb)
+    lw = fam.log_weights(spec.distribution, spec.y, spec.u, spec.phi,
+                         sig, al.approx.ytilde, al.approx.Htilde)
+    w = jnp.sum(lw, axis=1) - jnp.sum(al.scales)
+    mx = jnp.max(w)
+    we = jnp.exp(w - mx)
+    loglik = al.loglik + jnp.log(jnp.mean(we)) + mx
+    return SPDKResult(loglik, alpha, we / jnp.sum(we))

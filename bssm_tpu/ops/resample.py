@@ -1,0 +1,63 @@
+"""Particle resampling and ancestor tracing, vmappable and shape-static.
+
+Stratified resampling follows `/root/reference/src/stratified_sample.cpp:9-28`
+(Vihola's O(N) cumsum walk): with normalised weights w and uniforms
+r_j ~ U(0,1), index_j = min{ k : cumsum(w)_k >= (j + r_j)/N }.  Implemented
+as searchsorted over the cumulative weights — O(N log N) but fully parallel
+on the VPU, which beats a sequential O(N) walk on TPU.
+
+Ancestor tracing re-designs `/root/reference/src/filter_smoother.cpp:5-20`
+(in-place cube rewrite) as a reverse scan composing index maps, followed by
+one gather — no in-place mutation, O(n N) instead of O(n N m) moves.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_indices(weights: jnp.ndarray, key) -> jnp.ndarray:
+    """Stratified resampling indices, (N,) int32.  ``weights`` normalised."""
+    N = weights.shape[0]
+    cp = jnp.cumsum(weights)
+    cp = cp.at[-1].set(1.0)
+    r = jax.random.uniform(key, (N,), weights.dtype)
+    u = (jnp.arange(N, dtype=weights.dtype) + r) / N
+    return jnp.clip(jnp.searchsorted(cp, u, side="left"), 0, N - 1).astype(jnp.int32)
+
+
+def ancestor_trace(alpha: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Kitagawa filter-smoother backward tracing.
+
+    alpha:   (N, n+1, m) particle trajectories (post-filter storage where
+             alpha[:, t+1] are children of alpha[indices[:, t], t])
+    indices: (N, n) resampling ancestors
+    returns: (N, n+1, m) traced trajectories: row i is the full path ending
+             at particle i at time n.
+    """
+    N, n1, m = alpha.shape
+    n = n1 - 1
+
+    def back(b, idx_t):
+        b_new = idx_t[b]
+        return b_new, b_new
+
+    # b_t for t = n-1..0: lineage of particle i at time t
+    _, bs_rev = jax.lax.scan(back, jnp.arange(N, dtype=indices.dtype),
+                             jnp.swapaxes(indices, 0, 1), reverse=True)
+    # bs_rev[t] = ancestor index of final particle i at time t  (t=0..n-1)
+    gather = jnp.concatenate(
+        [jnp.swapaxes(bs_rev, 0, 1),
+         jnp.arange(N, dtype=indices.dtype)[:, None]], axis=1)  # (N, n+1)
+    return jnp.take_along_axis(alpha, gather[:, :, None], axis=0)
+
+
+def systematic_indices(weights: jnp.ndarray, key) -> jnp.ndarray:
+    """Systematic resampling (single uniform); cheaper collective, offered as
+    an alternative to stratified for large ensembles."""
+    N = weights.shape[0]
+    cp = jnp.cumsum(weights)
+    cp = cp.at[-1].set(1.0)
+    r = jax.random.uniform(key, (), weights.dtype)
+    u = (jnp.arange(N, dtype=weights.dtype) + r) / N
+    return jnp.clip(jnp.searchsorted(cp, u, side="left"), 0, N - 1).astype(jnp.int32)

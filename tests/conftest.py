@@ -1,0 +1,28 @@
+"""Test configuration: force CPU with 8 virtual devices and float64.
+
+Mirrors the strategy in SURVEY.md §7: statistical kernels are validated in
+f64 on a virtual multi-device CPU mesh; TPU runs use f32 via bench.py.
+Must set env vars before the first jax import.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"   # override axon/TPU for tests
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# the axon sitecustomize force-registers the TPU platform; override it so
+# tests run on the virtual 8-device CPU mesh
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
