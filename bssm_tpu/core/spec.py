@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import flax.struct as struct
 import jax.numpy as jnp
 
 
@@ -139,13 +140,15 @@ GAMMA = 4
 GAUSSIAN = 5   # only used inside multivariate mixed-family models
 
 
-class NGSpec(NamedTuple):
+@struct.dataclass
+class NGSpec:
     """Univariate non-Gaussian model: LG state dynamics + exponential-family
     observations (`/root/reference/src/model_ssm_ung.h:14-133`).
 
-    ``distribution`` is a *static* Python int (trace-time dispatch), matching
-    the reference's switch statements.  ``phi`` is the auxiliary parameter
-    (SV sigma, negbin dispersion, gamma shape), ``u`` the exposure/trials.
+    ``distribution`` is a *static* (non-pytree) field — trace-time dispatch,
+    matching the reference's switch statements.  ``phi`` is the auxiliary
+    parameter (SV sigma, negbin dispersion, gamma shape), ``u`` the
+    exposure/trials.
     """
     y: jnp.ndarray      # (n,)
     Z: jnp.ndarray      # (nz, m)
@@ -157,7 +160,7 @@ class NGSpec(NamedTuple):
     C: jnp.ndarray      # (nc, m)
     phi: jnp.ndarray    # scalar
     u: jnp.ndarray      # (n,)
-    distribution: int = POISSON           # static
+    distribution: int = struct.field(pytree_node=False, default=POISSON)
     initial_mode: Optional[jnp.ndarray] = None   # (n,)
 
     @property
@@ -182,7 +185,8 @@ class NGSpec(NamedTuple):
                       a1=self.a1, P1=self.P1, D=self.D, C=self.C)
 
 
-class MVNGSpec(NamedTuple):
+@struct.dataclass
+class MVNGSpec:
     """Multivariate non-Gaussian model with per-series observation families
     (`/root/reference/src/model_ssm_mng.cpp`).  ``distributions`` is a static
     tuple of ints (may include GAUSSIAN)."""
@@ -196,7 +200,7 @@ class MVNGSpec(NamedTuple):
     C: jnp.ndarray      # (nc, m)
     phi: jnp.ndarray    # (p,)
     u: jnp.ndarray      # (n, p)
-    distributions: tuple = ()             # static, length p
+    distributions: tuple = struct.field(pytree_node=False, default=())
     initial_mode: Optional[jnp.ndarray] = None   # (n, p)
 
     @property

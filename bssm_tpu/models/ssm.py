@@ -93,7 +93,10 @@ def _make_model(base_spec, update_fn, prior_fn, init_theta, kind, extra,
                         norm[k] = jnp.moveaxis(v, -1, 0)
                 else:
                     norm[k] = v
-            spec = spec._replace(**norm)
+            # LGSpec/MVLGSpec are NamedTuples (_replace); NG specs are
+            # flax.struct dataclasses (replace)
+            spec = (spec._replace(**norm) if hasattr(spec, "_replace")
+                    else spec.replace(**norm))
         return spec
 
     lp = (lambda th: jnp.zeros((), theta0.dtype)) if prior_fn is None \

@@ -1,0 +1,110 @@
+"""End-to-end MCMC tests.
+
+Mirrors the reference's statistical strategy
+(`/root/reference/tests/testthat/test_mcmc.R`):
+- with all-missing y the posterior must recover the prior;
+- Gaussian marginal MCMC on a local-level model recovers simulation truth;
+- IS-corrected runs produce finite weights and consistent posteriors.
+"""
+import numpy as np
+import pytest
+
+from bssm_tpu.core.priors import (halfnormal_prior, normal_prior,
+                                  uniform_prior)
+from bssm_tpu.inference.mcmc import run_mcmc
+from bssm_tpu.models.ar1 import ar1_ng
+from bssm_tpu.models.bsm import bsm_lg, bsm_ng
+
+
+def test_prior_recovery_all_missing():
+    """Posterior == prior when y is all NaN (`test_mcmc.R:8-36`)."""
+    n = 30
+    y = np.full(n, np.nan)
+    model = ar1_ng(y, rho=uniform_prior(0.5, -1.0, 1.0),
+                   sigma=halfnormal_prior(0.5, 0.5),
+                   mu=normal_prior(1.0, 1.0, 0.5),
+                   distribution="poisson")
+    out = run_mcmc(model, iter=20000, mcmc_type="approx", seed=3,
+                   output_type="theta")
+    th = out.flat_theta()
+    # prior means: rho ~ U(-1,1) -> 0; sigma ~ HN(0.5) -> 0.5*sqrt(2/pi);
+    # mu ~ N(1, 0.5)
+    assert abs(th[:, 0].mean() - 0.0) < 0.1
+    assert abs(th[:, 1].mean() - 0.5 * np.sqrt(2 / np.pi)) < 0.06
+    assert abs(th[:, 2].mean() - 1.0) < 0.1
+
+
+def test_gaussian_mcmc_local_level(rng):
+    n = 120
+    level = np.cumsum(rng.normal(0, 0.5, n))
+    y = level + rng.normal(0, 1.0, n)
+    model = bsm_lg(y, sd_y=halfnormal_prior(1.0, 5.0),
+                   sd_level=halfnormal_prior(0.5, 5.0))
+    out = run_mcmc(model, iter=6000, seed=1, output_type="full")
+    assert 0.1 < out.acceptance_rate < 0.5
+    th = out.flat_theta()
+    assert abs(np.log(th[:, 0].mean()) - np.log(1.0)) < 0.5
+    assert abs(np.log(th[:, 1].mean()) - np.log(0.5)) < 0.7
+    # state draws track the true level
+    alpha = out.alpha.reshape(-1, n + 1, 1)
+    lvl_mean = alpha[:, :n, 0].mean(axis=0)
+    assert np.corrcoef(lvl_mean, level)[0, 1] > 0.9
+
+
+def test_gaussian_mcmc_summary_mode(rng):
+    n = 60
+    y = np.cumsum(rng.normal(0, 0.3, n)) + rng.normal(0, 1.0, n)
+    model = bsm_lg(y, sd_y=halfnormal_prior(1.0, 5.0),
+                   sd_level=halfnormal_prior(0.3, 5.0))
+    out = run_mcmc(model, iter=3000, seed=2, output_type="summary")
+    assert out.alphahat.shape == (n + 1, 1)
+    assert out.Vt.shape == (n + 1, 1, 1)
+    assert np.all(np.isfinite(out.alphahat))
+    assert np.all(np.linalg.eigvalsh(out.Vt) > -1e-8)
+
+
+@pytest.mark.parametrize("mcmc_type", ["is2", "pm", "da"])
+def test_ng_mcmc_variants(rng, mcmc_type):
+    n = 60
+    alpha = np.zeros(n)
+    for t in range(1, n):
+        alpha[t] = 0.2 + 0.8 * alpha[t - 1] + 0.3 * rng.normal()
+    y = rng.poisson(np.exp(alpha)).astype(float)
+    model = ar1_ng(y, rho=uniform_prior(0.6, -0.99, 0.99),
+                   sigma=halfnormal_prior(0.3, 1.0),
+                   mu=normal_prior(0.5, 0.0, 2.0),
+                   distribution="poisson")
+    out = run_mcmc(model, iter=1500, particles=10, mcmc_type=mcmc_type,
+                   seed=4, output_type="full")
+    th = out.flat_theta()
+    assert np.all(np.isfinite(th))
+    assert np.all(np.isfinite(out.posterior))
+    assert out.alpha is not None and np.all(np.isfinite(out.alpha))
+    if mcmc_type == "is2":
+        w = out.flat_weights()
+        assert np.all(w > 0)
+        # IS weights should be well-behaved with psi-APF
+        cv = w.std() / w.mean()
+        assert cv < 1.0
+    # posterior concentrates near truth (loose)
+    assert abs(np.average(th[:, 0], weights=out.flat_weights()) - 0.8) < 0.25
+
+
+def test_is2_matches_is3_statistically(rng):
+    n = 40
+    alpha = np.zeros(n)
+    for t in range(1, n):
+        alpha[t] = 0.7 * alpha[t - 1] + 0.4 * rng.normal()
+    y = rng.poisson(np.exp(alpha)).astype(float)
+    model = ar1_ng(y, rho=uniform_prior(0.6, -0.99, 0.99),
+                   sigma=halfnormal_prior(0.4, 1.0),
+                   distribution="poisson")
+    o2 = run_mcmc(model, iter=2500, particles=10, mcmc_type="is2", seed=6,
+                  output_type="theta")
+    o3 = run_mcmc(model, iter=2500, particles=10, mcmc_type="is3", seed=7,
+                  output_type="theta")
+
+    def wmean(o):
+        return np.average(o.flat_theta(), axis=0, weights=o.flat_weights())
+
+    np.testing.assert_allclose(wmean(o2), wmean(o3), atol=0.1)
