@@ -1,0 +1,68 @@
+"""Benchmark: IS-MCMC (bsm_ng Poisson, psi-APF) samples/s/chip.
+
+Baseline (BASELINE.md): the reference runs 20k IS2 iterations with 10
+psi-APF particles on the airquality bsm_ng in 7.71 s single-thread CPU
+=> 2594 samples/s.  Here the same statistical workload (n=153-length series,
+10-particle psi-APF correction, RAM adaptive chains) runs as vmapped chains
+on one TPU chip; samples/s = chains * iters / wall-time (post-compile).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_SAMPLES_PER_S = 20000 / 7.71
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bssm_tpu.core.priors import halfnormal_prior
+    from bssm_tpu.models.bsm import bsm_ng
+    from bssm_tpu.inference.mcmc import run_mcmc
+
+    # airquality-scale workload: n = 153, level+slope BSM, Poisson obs
+    rng = np.random.default_rng(1)
+    n = 153
+    slope = np.cumsum(rng.normal(0, 0.01, n))
+    level = np.cumsum(slope + rng.normal(0, 0.1, n)) + 2.0
+    y = rng.poisson(np.exp(0.5 * level / np.abs(level).max() + 1.0))
+    model = bsm_ng(y.astype(float), sd_level=halfnormal_prior(0.1, 1.0),
+                   sd_slope=halfnormal_prior(0.01, 0.1),
+                   distribution="poisson", dtype=jnp.float32)
+
+    n_chains = 32
+    iters = 2000
+    particles = 10
+
+    def run(seed):
+        return run_mcmc(model, iter=iters, particles=particles,
+                        mcmc_type="is2", n_chains=n_chains, seed=seed,
+                        output_type="theta", corr_batch=512)
+
+    run(0)                      # compile warm-up (cached for same shapes)
+    t0 = time.time()
+    out = run(1)
+    elapsed = time.time() - t0
+
+    total_samples = n_chains * iters
+    sps = total_samples / elapsed
+    # sanity: finite posteriors and IS weights
+    ok = bool(np.all(np.isfinite(out.posterior)))
+    result = {
+        "metric": "samples_per_s_per_chip_is_mcmc_bsm_ng_psi",
+        "value": round(sps, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(sps / BASELINE_SAMPLES_PER_S, 2),
+        "chains": n_chains, "iters": iters, "particles": particles,
+        "elapsed_s": round(elapsed, 2), "finite": ok,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,13 @@ from .spec import SVM, POISSON, BINOMIAL, NEGBIN, GAMMA, GAUSSIAN
 LOG2PI = 1.8378770664093453
 
 
+def safe_exp(x):
+    """exp with the argument clipped below the dtype overflow point; keeps a
+    single extreme particle from poisoning a whole ensemble with NaN/inf."""
+    cap = 80.0 if jnp.result_type(x) == jnp.float32 else 700.0
+    return jnp.exp(jnp.minimum(x, cap))
+
+
 def _lchoose(n, k):
     """log C(n, k) via lgamma, matching the reference's thread-safe variant
     (`/root/reference/src/distr_consts.cpp:7-9`)."""
@@ -37,21 +44,21 @@ def laplace_match(dist: int, y, u, phi, signal):
     (missing), HH is sanitised downstream."""
     if dist == SVM:
         ys = jnp.where(jnp.abs(y) < 1e-4, 1e-4, y)
-        HH = 2.0 * jnp.exp(signal) / jnp.square(ys / phi)
+        HH = 2.0 * safe_exp(signal) / jnp.square(ys / phi)
         yt = signal + 1.0 - 0.5 * HH
     elif dist == POISSON:
-        HH = 1.0 / (jnp.exp(signal) * u)
+        HH = 1.0 / (safe_exp(signal) * u)
         yt = y * HH + signal - 1.0
     elif dist == BINOMIAL:
-        es = jnp.exp(signal)
+        es = safe_exp(signal)
         HH = jnp.square(1.0 + es) / (u * es)
         yt = y * HH + signal - 1.0 - es
     elif dist == NEGBIN:
-        eu = jnp.exp(signal) * u
+        eu = safe_exp(signal) * u
         HH = jnp.square(phi + eu) / (phi * eu * (y + phi))
         yt = signal + (phi + eu) * (y - eu) / ((y + phi) * eu)
     elif dist == GAMMA:
-        eu = jnp.exp(signal) * u
+        eu = safe_exp(signal) * u
         HH = eu / (y * phi)
         yt = signal - eu / y + 1.0
     elif dist == GAUSSIAN:
@@ -69,15 +76,15 @@ def log_obs_density(dist: int, y, u, phi, signal):
     ok = jnp.isfinite(y)
     ys = jnp.where(ok, y, 0.0)
     if dist == SVM:
-        w = -0.5 * (signal + jnp.square(ys / phi) * jnp.exp(-signal))
+        w = -0.5 * (signal + jnp.square(ys / phi) * safe_exp(-signal))
     elif dist == POISSON:
-        w = ys * signal - u * jnp.exp(signal)
+        w = ys * signal - u * safe_exp(signal)
     elif dist == BINOMIAL:
         w = ys * signal - u * jnp.logaddexp(0.0, signal)
     elif dist == NEGBIN:
-        w = ys * signal - (ys + phi) * jnp.log(phi + u * jnp.exp(signal))
+        w = ys * signal - (ys + phi) * jnp.log(phi + u * safe_exp(signal))
     elif dist == GAMMA:
-        w = -phi * (signal + ys * jnp.exp(-signal) / u)
+        w = -phi * (signal + ys * safe_exp(-signal) / u)
     elif dist == GAUSSIAN:
         w = -0.5 * jnp.square((ys - signal) / phi)
     else:

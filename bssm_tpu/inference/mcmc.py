@@ -243,14 +243,9 @@ def _approx_chain(model: Model, n_iter, burnin, thin, target, gamma,
 # non-Gaussian: IS post-correction (phase 2)
 # --------------------------------------------------------------------------
 
-def _is_correction(model: Model, stored, nsim, sampling_method, is_type,
-                   output_type, key, batch_size=None):
-    """Batched psi/bsf/spdk correction over stored draws
+def _make_correct_one(model: Model, nsim, sampling_method):
+    """One psi/bsf/spdk correction for a single stored draw
     (`/root/reference/src/approx_mcmc.cpp:353-427,447-518,606-678`)."""
-    thetas = stored["theta"]                     # (S, d)
-    modes = stored["modes"]                      # (S, n)
-    Ns = thetas.shape[0]
-    keys = jax.random.split(key, Ns)
 
     def correct_one(args):
         theta_i, mode_i, key_i = args
@@ -288,20 +283,54 @@ def _is_correction(model: Model, stored, nsim, sampling_method, is_type,
             / jnp.sum(final_w)
         return log_w, alpha_draw, mean_i, Vt_i
 
-    bs = batch_size or min(Ns, 256)
-    log_w, alpha_draw, mean_i, Vt_i = jax.lax.map(
-        correct_one, (thetas, modes, keys), batch_size=bs)
+    return correct_one
 
-    if sampling_method == "bsf":
-        log_w = log_w - stored["approx_ll"]
 
-    if is_type == 2:
-        # one correction per jump-chain head, shared across duplicates
-        fill = _forward_fill_heads((log_w, alpha_draw, mean_i, Vt_i),
-                                   stored["accepted"])
-        log_w, alpha_draw, mean_i, Vt_i = fill
+def _is_correction_flat(model: Model, thetas, modes, key, nsim,
+                        sampling_method, batch_size, mesh=None):
+    """IS correction over a flat axis of stored draws — the reference's
+    OpenMP loop (`approx_mcmc.cpp:364-368`) as chunked, mesh-sharded vmaps.
 
-    return dict(log_w=log_w, alpha=alpha_draw, mean=mean_i, Vt=Vt_i)
+    thetas: (S, d); modes: (S, n).  Returns (log_w, alpha, mean, Vt) with
+    leading axis S.  With a mesh, each chunk's batch axis is sharded over the
+    full device mesh (chains x draws), so S/devices corrections run per chip.
+    """
+    correct_one = _make_correct_one(model, nsim, sampling_method)
+    Ns = thetas.shape[0]
+    keys = jax.random.split(key, Ns)
+
+    if mesh is None:
+        bs = min(Ns, batch_size)
+        log_w, alpha_draw, mean_i, Vt_i = jax.lax.map(
+            correct_one, (thetas, modes, keys), batch_size=bs)
+        return log_w, alpha_draw, mean_i, Vt_i
+
+    from ..parallel.mesh import flat_sharding
+    sh = flat_sharding(mesh)
+    n_dev = mesh.devices.size
+    B = max(batch_size // n_dev, 1) * n_dev
+    pad = (-Ns) % B
+    if pad:
+        thetas = jnp.concatenate([thetas, thetas[:pad]])
+        modes = jnp.concatenate([modes, modes[:pad]])
+        keys = jnp.concatenate([keys, keys[:pad]])
+    nch = thetas.shape[0] // B
+
+    def chunk(_, xs):
+        th, mo, ke = xs
+        th = jax.lax.with_sharding_constraint(th, sh)
+        mo = jax.lax.with_sharding_constraint(mo, sh)
+        out = jax.vmap(lambda t, m, k: correct_one((t, m, k)))(th, mo, ke)
+        return None, out
+
+    def resh(a):
+        return a.reshape((nch, B) + a.shape[1:])
+
+    _, out = jax.lax.scan(chunk, None,
+                          (resh(thetas), resh(modes), resh(keys)))
+    out = jax.tree_util.tree_map(
+        lambda a: a.reshape((nch * B,) + a.shape[2:])[:Ns], out)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -450,7 +479,8 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
              S: Optional[jnp.ndarray] = None, end_adaptive_phase: bool = False,
              output_type: str = "full", n_chains: int = 1,
              seed: int = 1, conv_tol: float = 1e-8, max_iter: int = 100,
-             theta_init: Optional[jnp.ndarray] = None) -> McmcOutput:
+             theta_init: Optional[jnp.ndarray] = None,
+             mesh=None, corr_batch: Optional[int] = None) -> McmcOutput:
     """Bayesian inference via adaptive MCMC (`/root/reference/R/run_mcmc.R`).
 
     mcmc_type: lg models -> "gaussian"; ng models: "is2" (default), "is1",
@@ -500,7 +530,13 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
         raise ValueError(f"unknown mcmc_type {mcmc_type}")
 
     run = jax.jit(jax.vmap(lambda k: chain(k, theta0, S0)))
+    if mesh is not None:
+        from ..parallel.mesh import chains_sharding
+        chain_keys = jax.device_put(chain_keys, chains_sharding(mesh))
     res = run(chain_keys)
+    res = jax.tree_util.tree_map(
+        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready")
+        else a, res)
     t_mcmc = _time.time() - t0
 
     posterior0 = (np.asarray(res["posterior"]) if "posterior" in res
@@ -538,23 +574,34 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
         out.modes = np.asarray(res["modes"])
         t1 = _time.time()
         is_type = int(mcmc_type[-1])
-        corr_keys = jax.random.split(is_key, n_chains)
-        corr = jax.jit(jax.vmap(
-            lambda k, th, mo, al, ac: _is_correction(
-                model, dict(theta=th, modes=mo, approx_ll=al, accepted=ac),
-                particles, sampling_method, is_type, output_type, k)))(
-            corr_keys, res["theta"], res["modes"], res["approx_ll"],
-            res["accepted"])
-        log_w = np.asarray(corr["log_w"])
+        C, Sn = res["theta"].shape[:2]
+        flat = lambda a: a.reshape((C * Sn,) + a.shape[2:])   # noqa: E731
+        corr_fn = jax.jit(lambda th, mo, k: _is_correction_flat(
+            model, th, mo, k, particles, sampling_method,
+            batch_size=corr_batch or 256, mesh=mesh))
+        log_w, alpha_draw, mean_i, Vt_i = corr_fn(
+            flat(res["theta"]), flat(res["modes"]), is_key)
+        unflat = lambda a: a.reshape((C, Sn) + a.shape[1:])   # noqa: E731
+        log_w = unflat(log_w)
+        if sampling_method == "bsf":
+            log_w = log_w - res["approx_ll"]
+        if is_type == 2:
+            # one correction per jump-chain head, shared across duplicates
+            log_w, alpha_draw, mean_i, Vt_i = jax.vmap(_forward_fill_heads)(
+                (log_w, unflat(alpha_draw), unflat(mean_i), unflat(Vt_i)),
+                res["accepted"])
+        else:
+            alpha_draw, mean_i, Vt_i = (unflat(alpha_draw), unflat(mean_i),
+                                        unflat(Vt_i))
+        log_w = np.asarray(log_w)
         out.weights = np.exp(log_w)
         out.posterior = out.prior + out.approx_loglik + log_w
         if output_type == "full":
-            out.alpha = np.asarray(corr["alpha"])
+            out.alpha = np.asarray(alpha_draw)
         elif output_type == "summary":
             w = out.weights.reshape(-1)
-            means = np.asarray(corr["mean"]).reshape((-1,) +
-                                                     corr["mean"].shape[2:])
-            vts = np.asarray(corr["Vt"]).reshape((-1,) + corr["Vt"].shape[2:])
+            means = np.asarray(mean_i).reshape((-1,) + mean_i.shape[2:])
+            vts = np.asarray(Vt_i).reshape((-1,) + Vt_i.shape[2:])
             sw = np.sum(w)
             mean = np.einsum('s,stm->tm', w, means) / sw
             dev = means - mean

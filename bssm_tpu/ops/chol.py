@@ -59,40 +59,51 @@ def masked_tri_solve(L: jnp.ndarray, b: jnp.ndarray, active: jnp.ndarray,
     return x * am[:, None]
 
 
+def _psd_factor(V: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric square-root factor of a (numerically) PSD matrix via eigh
+    with eigenvalue clipping — the reference's SVD branch
+    (`/root/reference/src/conditional_dist.cpp:8-31`), robust at f32 where
+    Cholesky fails on cancellation-indefinite smoother covariances."""
+    Vs = 0.5 * (V + V.T)
+    w, U = jnp.linalg.eigh(Vs)
+    w = jnp.clip(w, 0.0, None)
+    return U * jnp.sqrt(w)[None, :]
+
+
+def _psd_pinv(V: jnp.ndarray) -> jnp.ndarray:
+    """Moore-Penrose pseudo-inverse of a PSD matrix (eigh, clipped)."""
+    m = V.shape[-1]
+    Vs = 0.5 * (V + V.T)
+    w, U = jnp.linalg.eigh(Vs)
+    tol = jnp.finfo(V.dtype).eps * m * jnp.maximum(jnp.max(w), 0.0)
+    winv = jnp.where(w > tol, 1.0 / jnp.where(w > tol, w, 1.0), 0.0)
+    return (U * winv[None, :]) @ U.T
+
+
 def conditional_cov_factors(Vt: jnp.ndarray, Ct: jnp.ndarray):
     """Convert smoothed marginal covariances + lag-1 cross-covariances into
     the psi-APF conditional proposal parameters.
 
-    Inputs (cf. `/root/reference/src/conditional_dist.cpp:33-65`):
+    Inputs (cf. `/root/reference/src/conditional_dist.cpp:4-31`, SVD branch):
       Vt:  (n+1, m, m) smoothed covariances Var(alpha_t | y)
       Ct:  (n+1, m, m) with Ct[t] = Cov(alpha_t, alpha_{t+1} | y) for t < n
     Returns:
-      Lcond: (n+1, m, m) lower factors of Var(alpha_t | alpha_{t-1}, y)
+      Lcond: (n+1, m, m) square-root factors of Var(alpha_t | alpha_{t-1}, y)
+             (symmetric-eigh factors, used only as linear maps on normals)
       Acond: (n+1, m, m) regression coefs: E[a_t|a_{t-1}] = ahat_t +
              Acond[t] (a_{t-1} - ahat_{t-1});  Acond[0] = 0.
     """
     n1, m, _ = Vt.shape
 
-    def step(carry, xs):
-        V_prev, C_prev, V_t = xs
-        active = _zero_diag_mask(V_prev, rel=False)
-        L_prev = masked_chol(V_prev, active)
-        # tmp = L^{-1} C  (C = Cov(a_{t-1}, a_t))
-        tmp = masked_tri_solve(L_prev, C_prev, active)
-        V_c = V_t - tmp.T @ tmp
-        # A = C' V_prev^{-1} = (L'^{-1} (L^{-1} C))'.  NOTE: the reference
-        # (`conditional_dist.cpp:46`) applies a *lower* solve twice, which is
-        # only correct for m = 1; validated against a dense joint-Gaussian
-        # oracle, the transpose solve is the exact conditional coefficient.
-        A = masked_tri_solve(L_prev.T, tmp, active, lower=False).T
-        active2 = _zero_diag_mask(V_c, rel=False)
-        L_c = masked_chol(V_c, active2)
-        return carry, (L_c, A)
+    def one(V_prev, C_prev, V_t):
+        # A = Cov(a_t, a_{t-1}) Var(a_{t-1})^+  (exact conditional coef;
+        # validated against a dense joint-Gaussian oracle)
+        A = C_prev.T @ _psd_pinv(V_prev)
+        V_c = V_t - A @ C_prev
+        return _psd_factor(V_c), A
 
-    # vectorised over t = 1..n (no sequential dependence between steps)
-    xs = (Vt[:-1], Ct[:-1], Vt[1:])
-    _, (Ls, As) = jax.lax.scan(step, None, xs)
-    L0 = masked_chol(Vt[0], _zero_diag_mask(Vt[0], rel=False))
+    Ls, As = jax.vmap(one)(Vt[:-1], Ct[:-1], Vt[1:])
+    L0 = _psd_factor(Vt[0])
     Lcond = jnp.concatenate([L0[None], Ls], axis=0)
     Acond = jnp.concatenate([jnp.zeros((1, m, m), Vt.dtype), As], axis=0)
     return Lcond, Acond
