@@ -213,20 +213,99 @@ def _gaussian_chain(model: Model, n_iter, burnin, thin, target, gamma,
 
 
 # --------------------------------------------------------------------------
+# family ops: uniform interface over ng / nlg model kinds
+# --------------------------------------------------------------------------
+
+class _FamilyOps(NamedTuple):
+    """approx_eval(spec)->(loglik, mode); psi(spec, mode, nsim, key)->
+    (log_corr, traced, final_w); bsf(spec, nsim, key)->(ll, traced, final_w);
+    spdk or None; mode0(spec)->initial mode array."""
+    approx_eval: Any
+    psi: Any
+    bsf: Any
+    spdk: Any
+    mode0: Any
+
+
+def _family_ops(model: Model, conv_tol, max_iter) -> _FamilyOps:
+    if model.kind == "ng":
+        def approx_eval(spec):
+            al = approx_mod.approx_loglik(spec, conv_tol=conv_tol,
+                                          max_iter=max_iter)
+            return al.loglik, al.approx.mode
+
+        def _al_from_mode(spec, mode):
+            ar = approx_mod.approximate_for_is(spec, mode)
+            sc = jnp.where(spec.obs_mask,
+                           approx_mod.fam.scales(
+                               spec.distribution, spec.y, spec.u, spec.phi,
+                               ar.mode, ar.ytilde, ar.Htilde), 0.0)
+            zero = jnp.zeros((), spec.y.dtype)
+            return approx_mod.ApproxLoglik(ar, sc, zero, zero)
+
+        def psi(spec, mode, nsim, key):
+            al = _al_from_mode(spec, mode)
+            pf = pf_mod.psi_filter(spec, al, nsim, key)
+            traced = ancestor_trace(pf.alpha, pf.indices)
+            return pf.loglik, traced, pf.weights[:, -1]
+
+        def bsf(spec, nsim, key):
+            pf = pf_mod.bsf_filter(spec, nsim, key)
+            traced = ancestor_trace(pf.alpha, pf.indices)
+            return pf.loglik, traced, pf.weights[:, -1]
+
+        def spdk(spec, mode, nsim, key):
+            al = _al_from_mode(spec, mode)
+            r = pf_mod.spdk_sample(spec, al, nsim, key)
+            return r.loglik, r.alpha, r.weights
+
+        def mode0(spec):
+            return spec.initial_mode.astype(spec.y.dtype)
+
+        return _FamilyOps(approx_eval, psi, bsf, spdk, mode0)
+
+    if model.kind == "nlg":
+        from . import nlg as nlg_mod
+
+        def approx_eval(spec):
+            ap = nlg_mod.approximate_nlg(spec)
+            return ap.loglik, ap.mode
+
+        def psi(spec, mode, nsim, key):
+            ap = nlg_mod.approximate_for_is_nlg(spec, mode)
+            pf = nlg_mod.psi_filter_nlg(spec, ap, nsim, key)
+            traced = ancestor_trace(pf.alpha, pf.indices)
+            return pf.loglik, traced, pf.weights[:, -1]
+
+        def bsf(spec, nsim, key):
+            pf = nlg_mod.bsf_filter_nlg(spec, nsim, key)
+            traced = ancestor_trace(pf.alpha, pf.indices)
+            return pf.loglik, traced, pf.weights[:, -1]
+
+        def mode0(spec):
+            return jnp.zeros((spec.n, spec.m), spec.y.dtype)
+
+        return _FamilyOps(approx_eval, psi, bsf, None, mode0)
+
+    raise ValueError(f"no family ops for model kind {model.kind}")
+
+
+# --------------------------------------------------------------------------
 # non-Gaussian: approximate MCMC (phase 1)
 # --------------------------------------------------------------------------
 
 def _approx_chain(model: Model, n_iter, burnin, thin, target, gamma,
                   end_ram, conv_tol, max_iter):
+    ops = _family_ops(model, conv_tol, max_iter)
+
     def logdens(theta, key, aux):
         spec = model.build(theta)
-        al = approx_mod.approx_loglik(spec, conv_tol=conv_tol,
-                                      max_iter=max_iter)
-        return al.loglik, al.loglik, al.approx.mode
+        ll, mode = ops.approx_eval(spec)
+        return ll, ll, mode
 
     def chain(key, theta0, S0):
         spec0 = model.build(theta0)
-        aux0 = spec0.initial_mode.astype(spec0.y.dtype)
+        aux0 = ops.mode0(spec0)
         final, thetas, lps, lls, accepted, modes = _ram_scan(
             logdens, model.log_prior, theta0, S0, key, n_iter, burnin,
             target, gamma, end_ram, aux0=aux0)
@@ -243,36 +322,25 @@ def _approx_chain(model: Model, n_iter, burnin, thin, target, gamma,
 # non-Gaussian: IS post-correction (phase 2)
 # --------------------------------------------------------------------------
 
-def _make_correct_one(model: Model, nsim, sampling_method):
+def _make_correct_one(model: Model, nsim, sampling_method,
+                      conv_tol=1e-8, max_iter=100):
     """One psi/bsf/spdk correction for a single stored draw
     (`/root/reference/src/approx_mcmc.cpp:353-427,447-518,606-678`)."""
+    ops = _family_ops(model, conv_tol, max_iter)
 
     def correct_one(args):
         theta_i, mode_i, key_i = args
         spec = model.build(theta_i)
-        ar = approx_mod.approximate_for_is(spec, mode_i)
-        sc = jnp.where(spec.obs_mask,
-                       approx_mod.fam.scales(
-                           spec.distribution, spec.y, spec.u, spec.phi,
-                           ar.mode, ar.ytilde, ar.Htilde), 0.0)
-        zero = jnp.zeros((), spec.y.dtype)
-        al = approx_mod.ApproxLoglik(ar, sc, zero, zero)
         k_pf, k_draw = jax.random.split(key_i)
         if sampling_method == "psi":
-            pf = pf_mod.psi_filter(spec, al, nsim, k_pf)
-            log_w = pf.loglik          # approx_loglik set to 0 -> correction
-            traced = ancestor_trace(pf.alpha, pf.indices)
-            final_w = pf.weights[:, -1]
+            log_w, traced, final_w = ops.psi(spec, mode_i, nsim, k_pf)
         elif sampling_method == "bsf":
-            pf = pf_mod.bsf_filter(spec, nsim, k_pf)
-            log_w = pf.loglik          # minus approx_ll applied by caller
-            traced = ancestor_trace(pf.alpha, pf.indices)
-            final_w = pf.weights[:, -1]
+            # minus approx_ll applied by caller
+            log_w, traced, final_w = ops.bsf(spec, nsim, k_pf)
         elif sampling_method == "spdk":
-            r = pf_mod.spdk_sample(spec, al, nsim, k_pf)
-            log_w = r.loglik
-            traced = r.alpha
-            final_w = r.weights
+            if ops.spdk is None:
+                raise ValueError("spdk not available for this model family")
+            log_w, traced, final_w = ops.spdk(spec, mode_i, nsim, k_pf)
         else:
             raise ValueError(sampling_method)
         idx = jax.random.categorical(k_draw, jnp.log(final_w + 1e-300))
@@ -341,24 +409,23 @@ def _pf_loglik(model: Model, theta, key, nsim, sampling_method, conv_tol,
                max_iter):
     """(exact_ll, approx_ll, sampled trajectory) for one theta
     (`/root/reference/src/model_ssm_ung.cpp:164-236`)."""
+    ops = _family_ops(model, conv_tol, max_iter)
     spec = model.build(theta)
     k_pf, k_draw = jax.random.split(key)
     if sampling_method == "bsf":
-        pf = pf_mod.bsf_filter(spec, nsim, k_pf)
-        traced = ancestor_trace(pf.alpha, pf.indices)
-        idx = jax.random.categorical(k_draw,
-                                     jnp.log(pf.weights[:, -1] + 1e-300))
-        return pf.loglik, pf.loglik, traced[idx]
-    al = approx_mod.approx_loglik(spec, conv_tol=conv_tol, max_iter=max_iter)
+        ll, traced, final_w = ops.bsf(spec, nsim, k_pf)
+        idx = jax.random.categorical(k_draw, jnp.log(final_w + 1e-300))
+        return ll, ll, traced[idx]
+    approx_ll, mode = ops.approx_eval(spec)
     if sampling_method == "psi":
-        pf = pf_mod.psi_filter(spec, al, nsim, k_pf)
-        traced = ancestor_trace(pf.alpha, pf.indices)
-        idx = jax.random.categorical(k_draw,
-                                     jnp.log(pf.weights[:, -1] + 1e-300))
-        return pf.loglik, al.loglik, traced[idx]
-    r = pf_mod.spdk_sample(spec, al, nsim, k_pf)
-    idx = jax.random.categorical(k_draw, jnp.log(r.weights + 1e-300))
-    return r.loglik, al.loglik, r.alpha[idx]
+        log_corr, traced, final_w = ops.psi(spec, mode, nsim, k_pf)
+        idx = jax.random.categorical(k_draw, jnp.log(final_w + 1e-300))
+        return approx_ll + log_corr, approx_ll, traced[idx]
+    if ops.spdk is None:
+        raise ValueError("spdk not available for this model family")
+    log_corr, traced, final_w = ops.spdk(spec, mode, nsim, k_pf)
+    idx = jax.random.categorical(k_draw, jnp.log(final_w + 1e-300))
+    return approx_ll + log_corr, approx_ll, traced[idx]
 
 
 def _pm_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
@@ -399,6 +466,7 @@ def _da_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
     dt = spec0.y.dtype
     store_alpha = output_type == "full"
     d = model.theta_init.shape[0]
+    ops = _family_ops(model, conv_tol, max_iter)
 
     def full_eval(theta, key):
         return _pf_loglik(model, theta, key, nsim, sampling_method,
@@ -419,9 +487,8 @@ def _da_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
 
             def stage1(_):
                 spec = model.build(prop)
-                al = approx_mod.approx_loglik(spec, conv_tol=conv_tol,
-                                              max_iter=max_iter)
-                return al.loglik
+                ll_a, _ = ops.approx_eval(spec)
+                return ll_a
 
             ll_approx_prop = jax.lax.cond(
                 ok, stage1, lambda _: jnp.asarray(_NEG_INF, dt), None)
@@ -496,7 +563,9 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
         mcmc_type = mcmc_type or "gaussian"
     else:
         mcmc_type = mcmc_type or "is2"
-        sampling_method = sampling_method or "psi"
+        # reference defaults: psi for exponential-family, bsf for nonlinear
+        sampling_method = sampling_method or (
+            "bsf" if model.kind == "nlg" else "psi")
         if mcmc_type != "approx" and particles < 2:
             raise ValueError("particles >= 2 required for non-approx MCMC")
 
@@ -625,6 +694,11 @@ def _approx_state_draws(model: Model, res, key):
 
     def draw_one(theta_i, mode_i, k):
         spec = model.build(theta_i)
+        if model.kind == "nlg":
+            from ..ops.kalman_mv import simulate_states_mv
+            from .nlg import build_approx
+            g = build_approx(spec, mode_i)
+            return simulate_states_mv(g, 1, k, use_antithetic=False)[0]
         ar = approx_mod.approximate_for_is(spec, mode_i)
         g = ar.gaussian(spec)
         return simulate_states_single(g, k)
