@@ -18,6 +18,9 @@ from .models.bsm import bsm_lg, bsm_ng
 from .models.ar1 import ar1_lg, ar1_ng
 from .models.svm import svm
 from .models.ssm import ssm_ulg, ssm_ung, ssm_mlg, ssm_mng
+from .models.nlg import ssm_nlg
+from .models.sde import ssm_sde, sde_gbm, sde_poisson_ou
+from .models import examples as example_models
 from .inference.mcmc import run_mcmc
 from .inference.filters import kfilter, bootstrap_filter, particle_smoother
 from .inference.smoothers import fast_smoother, smoother, sim_smoother

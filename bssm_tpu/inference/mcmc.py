@@ -229,7 +229,7 @@ class _FamilyOps(NamedTuple):
 
 def _family_ops(model: Model, conv_tol, max_iter) -> _FamilyOps:
     if model.kind == "ng":
-        def approx_eval(spec):
+        def approx_eval(spec, key):
             al = approx_mod.approx_loglik(spec, conv_tol=conv_tol,
                                           max_iter=max_iter)
             return al.loglik, al.approx.mode
@@ -267,7 +267,7 @@ def _family_ops(model: Model, conv_tol, max_iter) -> _FamilyOps:
     if model.kind == "nlg":
         from . import nlg as nlg_mod
 
-        def approx_eval(spec):
+        def approx_eval(spec, key):
             ap = nlg_mod.approximate_nlg(spec)
             return ap.loglik, ap.mode
 
@@ -287,7 +287,31 @@ def _family_ops(model: Model, conv_tol, max_iter) -> _FamilyOps:
 
         return _FamilyOps(approx_eval, psi, bsf, None, mode0)
 
+    if model.kind == "sde":
+        from . import sde as sde_mod
+
+        def approx_eval(spec, key):
+            # phase-1 "approximation" = coarse-level bootstrap filter
+            # (`/root/reference/src/approx_mcmc.cpp:230-334`)
+            pf = sde_mod.bsf_filter_sde(spec, _SDE_COARSE_NSIM[0], spec.L_c,
+                                        key)
+            return pf.loglik, jnp.zeros((1,), spec.y.dtype)
+
+        def bsf(spec, nsim, key):
+            pf = sde_mod.bsf_filter_sde(spec, nsim, spec.L_f, key)
+            traced = ancestor_trace(pf.alpha, pf.indices)
+            return pf.loglik, traced, pf.weights[:, -1]
+
+        def mode0(spec):
+            return jnp.zeros((1,), spec.y.dtype)
+
+        return _FamilyOps(approx_eval, None, bsf, None, mode0)
+
     raise ValueError(f"no family ops for model kind {model.kind}")
+
+
+# number of particles used by the sde coarse phase-1 filter; set by run_mcmc
+_SDE_COARSE_NSIM = [32]
 
 
 # --------------------------------------------------------------------------
@@ -300,7 +324,7 @@ def _approx_chain(model: Model, n_iter, burnin, thin, target, gamma,
 
     def logdens(theta, key, aux):
         spec = model.build(theta)
-        ll, mode = ops.approx_eval(spec)
+        ll, mode = ops.approx_eval(spec, key)
         return ll, ll, mode
 
     def chain(key, theta0, S0):
@@ -416,7 +440,8 @@ def _pf_loglik(model: Model, theta, key, nsim, sampling_method, conv_tol,
         ll, traced, final_w = ops.bsf(spec, nsim, k_pf)
         idx = jax.random.categorical(k_draw, jnp.log(final_w + 1e-300))
         return ll, ll, traced[idx]
-    approx_ll, mode = ops.approx_eval(spec)
+    k_ap, k_pf = jax.random.split(k_pf)
+    approx_ll, mode = ops.approx_eval(spec, k_ap)
     if sampling_method == "psi":
         log_corr, traced, final_w = ops.psi(spec, mode, nsim, k_pf)
         idx = jax.random.categorical(k_draw, jnp.log(final_w + 1e-300))
@@ -485,13 +510,14 @@ def _da_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
             lp_prop = model.log_prior(prop)
             ok = lp_prop > _NEG_INF
 
-            def stage1(_):
+            def stage1(k):
                 spec = model.build(prop)
-                ll_a, _ = ops.approx_eval(spec)
+                ll_a, _ = ops.approx_eval(spec, k)
                 return ll_a
 
+            key, k_s1 = jax.random.split(key)
             ll_approx_prop = jax.lax.cond(
-                ok, stage1, lambda _: jnp.asarray(_NEG_INF, dt), None)
+                ok, stage1, lambda _: jnp.asarray(_NEG_INF, dt), k_s1)
             acc_prob = jnp.where(
                 ok, jnp.minimum(1.0, jnp.exp(
                     ll_approx_prop - ll_approx + lp_prop - lp)), 0.0)
@@ -565,9 +591,14 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
         mcmc_type = mcmc_type or "is2"
         # reference defaults: psi for exponential-family, bsf for nonlinear
         sampling_method = sampling_method or (
-            "bsf" if model.kind == "nlg" else "psi")
+            "bsf" if model.kind in ("nlg", "sde") else "psi")
         if mcmc_type != "approx" and particles < 2:
             raise ValueError("particles >= 2 required for non-approx MCMC")
+        if model.kind == "sde":
+            sampling_method = "bsf"
+            # coarse phase-1 filter uses the same particle count
+            # (`/root/reference/src/approx_mcmc.cpp:230-334`)
+            _SDE_COARSE_NSIM[0] = max(int(particles), 2)
 
     theta0 = model.theta_init if theta_init is None else theta_init
     S0 = model.initial_S() if S is None else jnp.asarray(S)
