@@ -1,0 +1,151 @@
+"""Posterior predictive simulation and fitted values.
+
+Re-design of `/root/reference/R/predict.R` + `/root/reference/R/fitted.R` and
+the C++ `predict_sample`/`sample_model`/`predict_past`
+(`/root/reference/src/model_ssm_ulg.cpp:675-749`,
+`/root/reference/src/model_ssm_ung.cpp:714-833`): draws are resampled from
+the stored posterior with IS weights as probabilities, then a vmapped
+forward simulation produces state/mean/response trajectories.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.spec import (BINOMIAL, GAMMA, GAUSSIAN, LGSpec, NEGBIN, NGSpec,
+                         POISSON, SVM)
+from ..core.priors import LOG
+from ..models.base import Model
+
+
+def _to_sampled(model: Model, theta_nat):
+    tr = jnp.asarray(model.transforms)
+    x = jnp.asarray(theta_nat)
+    return jnp.where(tr == LOG, jnp.log(jnp.maximum(x, 1e-300)), x)
+
+
+def _bc(A, n):
+    return jnp.broadcast_to(A, (n,) + A.shape[1:]) if A.shape[0] == 1 else A
+
+
+def _sim_states(spec, a1, key):
+    """Forward-simulate states from a1 over the spec's timeline, (n, m)."""
+    n, m, k = spec.n, spec.m, spec.k
+    dt = spec.y.dtype
+    Tb, Cb, Rb = _bc(spec.T, n), _bc(spec.C, n), _bc(spec.R, n)
+    eta = jax.random.normal(key, (n, k), dt)
+
+    def step(a, xs):
+        T, C, R, e = xs
+        return C + T @ a + R @ e, a
+
+    _, alphas = jax.lax.scan(step, a1, (Tb[:-1], Cb[:-1], Rb[:-1],
+                                        eta[:-1]))
+    return jnp.concatenate([a1[None], alphas], axis=0)
+
+
+def _obs_mean(spec, signal):
+    if isinstance(spec, NGSpec):
+        d = spec.distribution
+        if d == SVM:
+            return jnp.zeros_like(signal)
+        if d == BINOMIAL:
+            e = jnp.exp(signal)
+            return e / (1.0 + e)
+        return jnp.exp(signal)
+    return signal
+
+
+def _obs_sample(spec, signal, alpha, key):
+    """Sample y given the signal (reference `sample_model(predict_type==1)`,
+    `model_ssm_ung.cpp:786-829`)."""
+    dt = signal.dtype
+    n = signal.shape[0]
+    if isinstance(spec, LGSpec):
+        H = jnp.broadcast_to(spec.H, (n,))
+        return signal + H * jax.random.normal(key, (n,), dt)
+    d = spec.distribution
+    mean = _obs_mean(spec, signal)
+    if d == SVM:
+        return spec.phi * jnp.exp(0.5 * alpha[:, 0]) * \
+            jax.random.normal(key, (n,), dt)
+    if d == POISSON:
+        return jax.random.poisson(key, spec.u * mean).astype(dt)
+    if d == BINOMIAL:
+        return jax.random.binomial(key, spec.u, mean).astype(dt)
+    if d == NEGBIN:
+        k1, k2 = jax.random.split(key)
+        prob = spec.phi / (spec.phi + spec.u * mean)
+        lam = jax.random.gamma(k1, spec.phi, (n,)) * (1.0 - prob) / prob
+        return jax.random.poisson(k2, lam).astype(dt)
+    if d == GAMMA:
+        g = jax.random.gamma(key, spec.phi, (n,))
+        return g * spec.u * mean / spec.phi
+    raise ValueError(d)
+
+
+def _signal(spec, alpha):
+    n = spec.n
+    Z = _bc(spec.Z, n)
+    D = _bc(spec.D.astype(alpha.dtype), n)
+    if isinstance(spec, NGSpec) and spec.distribution == SVM:
+        return alpha[:, 0]
+    return D + jnp.einsum('tm,tm->t', Z, alpha[:n])
+
+
+def predict(output, model: Model, type: str = "response", nsim: int = 1000,
+            seed: int = 1):
+    """Posterior predictive draws over the timeline of ``model``
+    (`/root/reference/R/predict.R:125`).  ``model`` describes the future:
+    its y length sets the horizon (values are ignored); the stored final
+    states seed the state recursion."""
+    if output.alpha is None:
+        raise ValueError("predict needs output_type='full'")
+    key = jax.random.PRNGKey(seed)
+    th_flat = output.flat_theta()
+    w = output.flat_weights()
+    alpha_last = output.alpha.reshape((-1,) + output.alpha.shape[2:])[:, -1]
+
+    k_pick, k_sim = jax.random.split(key)
+    idx = np.asarray(
+        jax.random.choice(k_pick, th_flat.shape[0], (nsim,),
+                          p=jnp.asarray(w / w.sum())))
+    thetas = jnp.asarray(th_flat[idx])
+    a1s = jnp.asarray(alpha_last[idx])
+    keys = jax.random.split(k_sim, nsim)
+
+    def one(theta_nat, a1, k):
+        spec = model.build(_to_sampled(model, theta_nat))
+        k_a, k_y = jax.random.split(k)
+        alpha = _sim_states(spec, a1, k_a)
+        if type == "state":
+            return alpha
+        sig = _signal(spec, alpha)
+        if type == "mean":
+            return _obs_mean(spec, sig)
+        return _obs_sample(spec, sig, alpha, k_y)
+
+    return np.asarray(jax.jit(jax.vmap(one))(thetas, a1s, keys))
+
+
+def fitted(output, model: Model, type: str = "mean", seed: int = 1):
+    """Fitted (past) values: replay stored state draws through the
+    observation equation (`/root/reference/R/fitted.R:25`,
+    `predict_past`, `model_ssm_ulg.cpp:727-749`)."""
+    if output.alpha is None:
+        raise ValueError("fitted needs output_type='full'")
+    th_flat = output.flat_theta()
+    alphas = output.alpha.reshape((-1,) + output.alpha.shape[2:])
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, th_flat.shape[0])
+
+    def one(theta_nat, alpha, k):
+        spec = model.build(_to_sampled(model, theta_nat))
+        sig = _signal(spec, alpha)
+        if type == "mean":
+            return _obs_mean(spec, sig)
+        return _obs_sample(spec, sig, alpha, k)
+
+    return np.asarray(jax.jit(jax.vmap(one))(
+        jnp.asarray(th_flat), jnp.asarray(alphas), keys))

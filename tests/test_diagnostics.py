@@ -1,0 +1,115 @@
+"""Diagnostics, predict/fitted, post_correct and suggest_N tests."""
+import numpy as np
+
+from bssm_tpu.core.priors import halfnormal_prior, normal_prior, uniform_prior
+from bssm_tpu.diagnostics.summary import (asymptotic_var, check_diagnostics,
+                                          ess_is, estimate_ess, iact, rhat,
+                                          summary)
+from bssm_tpu.inference.mcmc import run_mcmc
+from bssm_tpu.inference.postcorrect import post_correct, suggest_N
+from bssm_tpu.inference.predict import fitted, predict
+from bssm_tpu.models.ar1 import ar1_ng
+from bssm_tpu.models.bsm import bsm_lg
+
+
+def test_iact_white_noise(rng):
+    x = rng.normal(size=5000)
+    assert abs(iact(x) - 1.0) < 0.3
+
+
+def test_iact_ar1(rng):
+    # AR(1) with rho=0.9: IACT = (1+rho)/(1-rho) = 19
+    rho = 0.9
+    x = np.zeros(20000)
+    for t in range(1, len(x)):
+        x[t] = rho * x[t - 1] + rng.normal()
+    tau = iact(x)
+    assert 10 < tau < 30
+
+
+def test_asymptotic_var_iid(rng):
+    x = rng.normal(size=4000)
+    av = asymptotic_var(x)
+    # for iid data: var(x)/n
+    assert abs(av / (x.var() / len(x)) - 1.0) < 0.4
+    assert 2000 < estimate_ess(x) < 8000
+
+
+def test_ess_is_uniform_weights():
+    w = np.ones(100)
+    assert abs(ess_is(w) - 100) < 1e-9
+    w2 = np.zeros(100)
+    w2[0] = 1.0
+    assert abs(ess_is(w2) - 1.0) < 1e-9
+
+
+def test_rhat_converged(rng):
+    chains = rng.normal(size=(4, 2000))
+    assert abs(rhat(chains) - 1.0) < 0.02
+
+
+def _poisson_fit(rng, iters=1500, output_type="full", mcmc_type="is2"):
+    n = 40
+    alpha = np.zeros(n)
+    for t in range(1, n):
+        alpha[t] = 0.7 * alpha[t - 1] + 0.4 * rng.normal()
+    y = rng.poisson(np.exp(alpha)).astype(float)
+    model = ar1_ng(y, rho=uniform_prior(0.6, -0.99, 0.99),
+                   sigma=halfnormal_prior(0.4, 1.0),
+                   distribution="poisson")
+    out = run_mcmc(model, iter=iters, particles=10, mcmc_type=mcmc_type,
+                   seed=3, output_type=output_type)
+    return model, y, out
+
+
+def test_summary_and_check(rng):
+    model, y, out = _poisson_fit(rng)
+    rows = summary(out, "theta", return_se=True)
+    assert len(rows) == 2
+    for r in rows:
+        assert np.isfinite(r["Mean"]) and np.isfinite(r["SE"])
+        assert r["ESS"] > 10
+    txt = check_diagnostics(out)
+    assert "Acceptance rate" in txt and "ESS" in txt
+
+
+def test_predict_and_fitted(rng):
+    model, y, out = _poisson_fit(rng)
+    n = len(y)
+    # future model over 10 steps
+    future = ar1_ng(np.full(10, np.nan), rho=uniform_prior(0.6, -0.99, 0.99),
+                    sigma=halfnormal_prior(0.4, 1.0),
+                    distribution="poisson")
+    pr = predict(out, future, type="response", nsim=200, seed=2)
+    assert pr.shape == (200, 10)
+    assert np.nanmean(pr) >= 0
+    pm = predict(out, future, type="mean", nsim=200, seed=2)
+    assert np.all(pm > 0)
+    ft = fitted(out, model, type="mean")
+    assert ft.shape[1] == n
+    # fitted means should correlate with the data
+    corr = np.corrcoef(ft.mean(axis=0), y)[0, 1]
+    assert corr > 0.5
+
+
+def test_post_correct_matches_is2(rng):
+    model, y, out_approx = _poisson_fit(rng, mcmc_type="approx",
+                                        output_type="full", iters=2500)
+    corrected = post_correct(model, out_approx, particles=10, seed=5)
+    assert corrected.weights is not None
+    assert np.all(np.isfinite(corrected.posterior))
+    # corrected posterior mean close to a direct is2 run
+    out_is2 = run_mcmc(model, iter=2500, particles=10, mcmc_type="is2",
+                       seed=3, output_type="theta")
+    m1 = np.average(corrected.flat_theta(), axis=0,
+                    weights=corrected.flat_weights())
+    m2 = np.average(out_is2.flat_theta(), axis=0,
+                    weights=out_is2.flat_weights())
+    np.testing.assert_allclose(m1, m2, atol=0.1)
+
+
+def test_suggest_N(rng):
+    model, y, out = _poisson_fit(rng, iters=500, output_type="theta")
+    res = suggest_N(model, replications=40)
+    assert res["N"] <= 32       # psi-APF needs few particles
+    assert res["sd"] < 1.0
