@@ -174,11 +174,21 @@ def _forward_fill_heads(x, accepted):
 
 def _gaussian_chain(model: Model, n_iter, burnin, thin, target, gamma,
                     end_ram, output_type):
-    from ..ops import kalman
+    from ..ops import kalman, kalman_mv
+
+    mv = model.kind == "mlg"
+    _loglik = kalman_mv.log_likelihood_mv if mv else kalman.log_likelihood
+    _smoother = kalman_mv.smoother_mv if mv else kalman.smoother
+
+    def _draw_states(spec, k):
+        if mv:
+            return kalman_mv.simulate_states_mv(spec, 1, k,
+                                                use_antithetic=False)[0]
+        return simulate_states_single(spec, k)
 
     def logdens(theta, key, aux):
         spec = model.build(theta)
-        ll = kalman.log_likelihood(spec)
+        ll = _loglik(spec)
         return ll, ll, aux
 
     def chain(key, theta0, S0):
@@ -193,12 +203,12 @@ def _gaussian_chain(model: Model, n_iter, burnin, thin, target, gamma,
             keys = jax.random.split(final.key, len(sl))
 
             def draw(th, k):
-                return simulate_states_single(model.build(th), k)
+                return _draw_states(model.build(th), k)
 
             out["alpha"] = jax.vmap(draw)(out["theta"], keys)
         elif output_type == "summary":
             def smooth(th):
-                sm = kalman.smoother(model.build(th))
+                sm = _smoother(model.build(th))
                 return sm.alphahat, sm.Vt
 
             ahat, vts = jax.lax.map(smooth, out["theta"], batch_size=64)
@@ -286,6 +296,34 @@ def _family_ops(model: Model, conv_tol, max_iter) -> _FamilyOps:
             return jnp.zeros((spec.n, spec.m), spec.y.dtype)
 
         return _FamilyOps(approx_eval, psi, bsf, None, mode0)
+
+    if model.kind == "mng":
+        from . import approx_mv as mv_mod
+
+        def approx_eval(spec, key):
+            al = mv_mod.approx_loglik_mv(spec, conv_tol=conv_tol,
+                                         max_iter=max_iter)
+            return al.loglik, al.approx.mode
+
+        def psi(spec, mode, nsim, key):
+            al = mv_mod.approximate_for_is_mv(spec, mode)
+            pf = mv_mod.psi_filter_mv(spec, al, nsim, key)
+            traced = ancestor_trace(pf.alpha, pf.indices)
+            return pf.loglik, traced, pf.weights[:, -1]
+
+        def bsf(spec, nsim, key):
+            pf = mv_mod.bsf_filter_mv(spec, nsim, key)
+            traced = ancestor_trace(pf.alpha, pf.indices)
+            return pf.loglik, traced, pf.weights[:, -1]
+
+        def spdk(spec, mode, nsim, key):
+            al = mv_mod.approximate_for_is_mv(spec, mode)
+            return mv_mod.spdk_sample_mv(spec, al, nsim, key)
+
+        def mode0(spec):
+            return spec.initial_mode.astype(spec.y.dtype)
+
+        return _FamilyOps(approx_eval, psi, bsf, spdk, mode0)
 
     if model.kind == "sde":
         from . import sde as sde_mod
