@@ -115,8 +115,22 @@ def approx_loglik(spec: NGSpec, approx: ApproxResult | None = None,
     return ApproxLoglik(approx, sc, gll + ct + jnp.sum(sc), gll)
 
 
-def gaussian_approx(spec: NGSpec, conv_tol: float = CONV_TOL,
-                    max_iter: int = MAX_ITER) -> LGSpec:
+def gaussian_approx(spec, conv_tol: float = CONV_TOL,
+                    max_iter: int = MAX_ITER):
     """Public API: the approximating linear-Gaussian model
-    (`/root/reference/R/approx.R:42`)."""
-    return approximate(spec, conv_tol, max_iter).gaussian(spec)
+    (`/root/reference/R/approx.R:42`).  Dispatches over ung/mng/nlg."""
+    from ..core.spec import MVNGSpec
+    from ..models.base import Model as _Model
+    if isinstance(spec, _Model):
+        spec = spec.build(spec.theta_init)
+    if isinstance(spec, NGSpec):
+        return approximate(spec, conv_tol, max_iter).gaussian(spec)
+    if isinstance(spec, MVNGSpec):
+        from . import approx_mv as mv_mod
+        return mv_mod.approximate_mv(spec, conv_tol,
+                                     max_iter).gaussian(spec)
+    from ..models.nlg import NLGSpec
+    if isinstance(spec, NLGSpec):
+        from .nlg import approximate_nlg
+        return approximate_nlg(spec).approx
+    raise TypeError(type(spec))
