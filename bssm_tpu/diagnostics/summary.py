@@ -24,6 +24,11 @@ def iact(x: np.ndarray) -> float:
     if sd == 0 or n < 2:
         return 0.0
     xs = (x - x.mean()) / sd
+    if n > 2000:
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            return float(lib.bssm_iact(np.ascontiguousarray(xs), n))
     C = max(5.0, np.log10(n))
     tau = 1.0
     # vectorised: all lag covariances at once, then the adaptive stop
