@@ -144,6 +144,37 @@ class McmcOutput:
     def counts(self) -> np.ndarray:
         return np.ones_like(self.posterior, dtype=np.int64)
 
+    # -- checkpointing ----------------------------------------------------
+    # The stored (theta, modes, S, weights) ARE the resumable state
+    # (SURVEY.md §5.4); `run_mcmc(theta_init=out.last_theta(model), S=out.S,
+    # burnin=0)` continues the run.
+    def save(self, path: str) -> None:
+        arrays = {k: v for k, v in dataclasses.asdict(self).items()
+                  if isinstance(v, np.ndarray)}
+        meta = {k: v for k, v in dataclasses.asdict(self).items()
+                if not isinstance(v, np.ndarray) and v is not None}
+        np.savez_compressed(path, __meta__=np.asarray([repr(meta)]),
+                            **arrays)
+
+    @staticmethod
+    def load(path: str) -> "McmcOutput":
+        import ast
+        z = np.load(path, allow_pickle=False)
+        meta = ast.literal_eval(str(z["__meta__"][0]))
+        fields = {f.name for f in dataclasses.fields(McmcOutput)}
+        kw = {k: z[k] for k in z.files if k in fields}
+        kw.update({k: v for k, v in meta.items() if k in fields})
+        kw["theta_names"] = tuple(kw.get("theta_names", ()))
+        return McmcOutput(**kw)
+
+    def last_theta(self, model) -> np.ndarray:
+        """Per-chain final draws mapped back to the sampled space, for
+        warm-starting a continuation run."""
+        from ..core.priors import LOG
+        th = self.theta[:, -1, :]
+        tr = np.asarray(model.transforms)
+        return np.where(tr == LOG, np.log(np.maximum(th, 1e-300)), th)
+
     def flat_theta(self) -> np.ndarray:
         return self.theta.reshape(-1, self.theta.shape[-1])
 
@@ -376,6 +407,43 @@ def _approx_chain(model: Model, n_iter, burnin, thin, target, gamma,
                     accepted=accepted[sl], modes=modes[sl], S=final.S,
                     key=final.key,
                     acc_rate=jnp.mean(accepted[burnin:].astype(jnp.float32)))
+
+    return chain
+
+
+def _ekf_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
+               output_type):
+    """EKF-marginal MCMC for nonlinear models: the (i)EKF log-likelihood
+    is the target (`/root/reference/src/approx_mcmc.cpp:1523-1671`)."""
+    from . import nlg as nlg_mod
+
+    def logdens(theta, key, aux):
+        spec = model.build(theta)
+        ll = nlg_mod.ekf_loglik(spec)
+        return ll, ll, aux
+
+    def chain(key, theta0, S0):
+        final, thetas, lps, lls, accepted, _ = _ram_scan(
+            logdens, model.log_prior, theta0, S0, key, n_iter, burnin,
+            target, gamma, end_ram, aux0=())
+        sl = _slots(n_iter, burnin, thin)
+        out = dict(theta=thetas[sl], posterior=(lps + lls)[sl],
+                   accepted=accepted[sl], S=final.S,
+                   acc_rate=jnp.mean(accepted[burnin:].astype(jnp.float32)))
+        if output_type == "full":
+            keys = jax.random.split(final.key, len(sl))
+
+            def draw(th, k):
+                from ..ops.kalman_mv import simulate_states_mv
+                spec = model.build(th)
+                r = nlg_mod.ekf(spec)
+                g = nlg_mod.build_approx(spec, r.at[:-1], att=r.att)
+                return simulate_states_mv(g, 1, k, use_antithetic=False)[0]
+
+            out["alpha"] = jax.lax.map(
+                lambda a: draw(a[0], a[1]), (out["theta"], keys),
+                batch_size=64)
+        return out
 
     return chain
 
@@ -630,7 +698,7 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
         # reference defaults: psi for exponential-family, bsf for nonlinear
         sampling_method = sampling_method or (
             "bsf" if model.kind in ("nlg", "sde") else "psi")
-        if mcmc_type != "approx" and particles < 2:
+        if mcmc_type not in ("approx", "ekf") and particles < 2:
             raise ValueError("particles >= 2 required for non-approx MCMC")
         if model.kind == "sde":
             sampling_method = "bsf"
@@ -654,6 +722,10 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
     elif mcmc_type in ("approx", "is1", "is2", "is3"):
         chain = _approx_chain(model, conv_tol=conv_tol, max_iter=max_iter,
                               **common)
+    elif mcmc_type == "ekf":
+        if model.kind != "nlg":
+            raise ValueError("mcmc_type='ekf' requires a nonlinear model")
+        chain = _ekf_chain(model, output_type=output_type, **common)
     elif mcmc_type == "pm":
         chain = _pm_chain(model, nsim=particles,
                           sampling_method=sampling_method,
@@ -667,11 +739,20 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
     else:
         raise ValueError(f"unknown mcmc_type {mcmc_type}")
 
-    run = jax.jit(jax.vmap(lambda k: chain(k, theta0, S0)))
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 2:       # per-chain restart states (checkpoint resume)
+        S0b = S0 if S0.ndim == 3 else jnp.broadcast_to(
+            S0, (n_chains,) + S0.shape)
+        run = jax.jit(jax.vmap(chain))
+        run_args = (chain_keys, theta0, S0b)
+    else:
+        run = jax.jit(jax.vmap(lambda k: chain(k, theta0, S0)))
+        run_args = (chain_keys,)
     if mesh is not None:
         from ..parallel.mesh import chains_sharding
-        chain_keys = jax.device_put(chain_keys, chains_sharding(mesh))
-    res = run(chain_keys)
+        run_args = (jax.device_put(run_args[0], chains_sharding(mesh)),
+                    ) + run_args[1:]
+    res = run(*run_args)
     res = jax.tree_util.tree_map(
         lambda a: a.block_until_ready() if hasattr(a, "block_until_ready")
         else a, res)
@@ -688,10 +769,10 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
         theta_names=model.theta_names, mcmc_type=mcmc_type,
         output_type=output_type, iter=iter, burnin=burnin, thin=thin)
 
-    if mcmc_type == "gaussian":
-        if output_type == "full":
+    if mcmc_type in ("gaussian", "ekf"):
+        if output_type == "full" and "alpha" in res:
             out.alpha = np.asarray(res["alpha"])
-        elif output_type == "summary":
+        elif output_type == "summary" and "alphahat" in res:
             out.alphahat = np.asarray(jnp.mean(res["alphahat"], axis=0))
             out.Vt = np.asarray(jnp.mean(res["Vt"], axis=0))
     elif mcmc_type in ("pm", "da"):

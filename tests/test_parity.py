@@ -1,0 +1,78 @@
+"""Correctness-parity targets from BASELINE.md, on the reference's own data
+(loaded from `/root/reference/data/*.rda` with the built-in RDX reader).
+
+- negbin_series bsm_ng: published posterior means theta = (beta -0.912,
+  phi 5.392, sd_level 0.092, sd_slope 0.003), alpha_200 = (6.962, 0.006)
+  (`/root/reference/tests/testthat/test_mcmc.R:39-65`)
+- poisson_series bsm_ng: sd_level ~= 0.093, sd_slope ~= 0.016,
+  level_1 ~= -0.075, level_100 ~= 2.618 (`/root/reference/R/models.R:864-871`)
+
+Run lengths are reduced vs the reference's 6e4-1e5 iterations to keep CPU
+CI practical; tolerances widened accordingly (MC error dominates).
+"""
+import numpy as np
+import pytest
+
+from bssm_tpu.core.priors import halfnormal_prior, normal_prior, uniform_prior
+from bssm_tpu.diagnostics.summary import weighted_mean
+from bssm_tpu.inference.mcmc import run_mcmc
+from bssm_tpu.models.bsm import bsm_ng
+from bssm_tpu.utils.rdata import load_rda
+
+DATA = "/root/reference/data"
+
+
+@pytest.mark.slow
+def test_negbin_paper_parity():
+    d = load_rda(f"{DATA}/negbin_series.rda")["negbin_series"]
+    y, x = d[:, 0], d[:, 1]
+    model = bsm_ng(y, xreg=x, beta=normal_prior(0.0, 0.0, 10.0),
+                   phi=halfnormal_prior(1.0, 10.0),
+                   sd_level=halfnormal_prior(0.1, 1.0),
+                   sd_slope=halfnormal_prior(0.01, 0.1),
+                   a1=np.zeros(2), P1=np.diag([10.0, 0.1]) ** 2,
+                   distribution="negative binomial")
+    out = run_mcmc(model, iter=20000, burnin=4000, particles=10,
+                   mcmc_type="is2", seed=1, output_type="full", n_chains=2)
+    w = out.flat_weights()
+    th = out.flat_theta()
+    names = list(out.theta_names)
+    means = {nm: weighted_mean(th[:, j], w) for j, nm in enumerate(names)}
+    assert abs(means["beta"] - (-0.912)) < 0.05
+    assert abs(means["phi"] - 5.392) < 0.35
+    assert abs(means["sd_level"] - 0.092) < 0.02
+    assert abs(means["sd_slope"] - 0.003) < 0.006
+    # smoothed state at t=200 (1-based) = index 199
+    a = out.alpha.reshape((-1,) + out.alpha.shape[2:])
+    lvl = weighted_mean(a[:, 199, 0], w)
+    slp = weighted_mean(a[:, 199, 1], w)
+    assert abs(lvl - 6.962) < 0.05
+    assert abs(slp - 0.006) < 0.01
+
+
+@pytest.mark.slow
+def test_poisson_series_doc_parity():
+    y = load_rda(f"{DATA}/poisson_series.rda")["poisson_series"]
+    y = np.asarray(y, dtype=float)
+    s = np.std(np.log(np.maximum(0.1, y)))
+    model = bsm_ng(y, sd_level=uniform_prior(0.115, 0.0, 2 * s),
+                   sd_slope=uniform_prior(0.004, 0.0, 2 * s),
+                   P1=np.eye(2) * 0.1, distribution="poisson")
+    out = run_mcmc(model, iter=20000, burnin=4000, particles=10,
+                   mcmc_type="is2", seed=2, output_type="full", n_chains=2)
+    w = out.flat_weights()
+    th = out.flat_theta()
+    means = dict(zip(out.theta_names,
+                     [weighted_mean(th[:, j], w) for j in range(2)]))
+    assert abs(means["sd_level"] - 0.093) < 0.02
+    assert abs(means["sd_slope"] - 0.016) < 0.012
+    a = out.alpha.reshape((-1,) + out.alpha.shape[2:])
+    assert abs(weighted_mean(a[:, 0, 0], w) - (-0.075)) < 0.12
+    assert abs(weighted_mean(a[:, 99, 0], w) - 2.618) < 0.12
+
+
+def test_datasets_load():
+    for name, shape in [("poisson_series", (100,)), ("drownings", (51, 4)),
+                        ("exchange", (945,)), ("negbin_series", (200, 2))]:
+        d = load_rda(f"{DATA}/{name}.rda")[name]
+        assert np.asarray(d).shape == shape
