@@ -183,6 +183,50 @@ class McmcOutput:
             return np.ones(self.posterior.size)
         return self.weights.reshape(-1)
 
+    # -- exports ----------------------------------------------------------
+    def to_dataframe(self, variable: str = "theta"):
+        """Long-format draws, mirroring `as.data.frame.mcmc_output`
+        (`/root/reference/R/as.data.frame.mcmc_output.R:45`)."""
+        import pandas as pd
+        C, S = self.posterior.shape
+        w = self.weights if self.weights is not None else np.ones((C, S))
+        if variable == "theta":
+            frames = []
+            for j, name in enumerate(self.theta_names):
+                frames.append(pd.DataFrame({
+                    "iter": np.tile(np.arange(S), C),
+                    "chain": np.repeat(np.arange(C), S),
+                    "variable": name,
+                    "value": self.theta[..., j].reshape(-1),
+                    "weight": w.reshape(-1)}))
+            return pd.concat(frames, ignore_index=True)
+        if variable == "states":
+            if self.alpha is None:
+                raise ValueError("state draws need output_type='full'")
+            C, S, n1, m = self.alpha.shape
+            recs = []
+            for j in range(m):
+                df = pd.DataFrame(
+                    self.alpha[..., j].reshape(C * S, n1))
+                df.insert(0, "chain", np.repeat(np.arange(C), S))
+                df.insert(1, "iter", np.tile(np.arange(S), C))
+                df.insert(2, "variable", f"state_{j + 1}")
+                df.insert(3, "weight", w.reshape(-1))
+                recs.append(df)
+            return pd.concat(recs, ignore_index=True)
+        raise ValueError(variable)
+
+    def as_draws(self) -> dict:
+        """ArviZ/posterior-style dict: {name: (chains, draws) array},
+        mirroring `as_draws_df` (`/root/reference/R/as_draws.R:54`).
+        IS weights are exposed as the reserved column ``.weight``."""
+        out = {name: self.theta[..., j]
+               for j, name in enumerate(self.theta_names)}
+        out[".log_posterior"] = self.posterior
+        if self.weights is not None:
+            out[".weight"] = self.weights
+        return out
+
 
 def _slots(n_iter: int, burnin: int, thin: int) -> np.ndarray:
     idx = np.arange(burnin, n_iter, thin)

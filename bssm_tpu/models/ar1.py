@@ -13,13 +13,14 @@ import numpy as np
 
 from ..core.priors import IDENTITY, LOG
 from ..core.spec import GAMMA, LGSpec, NEGBIN, NGSpec
+from ..core.validate import check_u, check_y
 from .base import Model, collect_priors, init_mode, _is_prior
 from .bsm import _DIST_NAMES
 
 
 def ar1_lg(y, rho, sigma, mu=None, sd_y=None, beta=None, xreg=None,
            dtype=jnp.float64) -> Model:
-    y = np.asarray(y, dtype=np.float64)
+    y = check_y(y)
     n = y.shape[0]
     mu_est = _is_prior(mu)
     sd_y_est = _is_prior(sd_y)
@@ -66,10 +67,10 @@ def ar1_ng(y, rho, sigma, mu=None, distribution="poisson", phi=1.0, u=None,
            beta=None, xreg=None, dtype=jnp.float64) -> Model:
     dist = _DIST_NAMES[distribution] if isinstance(distribution, str) \
         else int(distribution)
-    y = np.asarray(y, dtype=np.float64)
+    y = check_y(y, distribution=distribution
+                if isinstance(distribution, str) else None)
     n = y.shape[0]
-    u_ = np.ones(n) if u is None else np.broadcast_to(
-        np.asarray(u, np.float64), (n,)).copy()
+    u_ = np.ones(n) if u is None else check_u(u, y)
     mu_est = _is_prior(mu)
     mu_fix = 0.0 if mu is None or mu_est else float(mu)
     phi_used = dist in (NEGBIN, GAMMA)

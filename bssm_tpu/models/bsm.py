@@ -19,6 +19,7 @@ import numpy as np
 
 from ..core.priors import IDENTITY, LOG
 from ..core.spec import GAMMA, LGSpec, NEGBIN, NGSpec
+from ..core.validate import check_period, check_u, check_y
 from .base import Model, collect_priors, init_mode, _is_prior
 
 _DIST_NAMES = {"svm": 0, "poisson": 1, "binomial": 2,
@@ -64,12 +65,12 @@ def bsm_lg(y, sd_y, sd_level, sd_slope=None, sd_seasonal=None,
            beta=None, xreg=None, period: Optional[int] = None,
            a1=None, P1=None, D=None, C=None, dtype=jnp.float64) -> Model:
     """Gaussian basic structural model."""
-    y = np.asarray(y, dtype=np.float64)
+    y = check_y(y)
     n = y.shape[0]
     slope = sd_slope is not None
     seasonal = sd_seasonal is not None
-    if seasonal and period is None:
-        raise ValueError("period required with a seasonal component")
+    if seasonal:
+        period = check_period(period, n)
     period = int(period or 1)
     m, Zv, Tm, Rm = _bsm_structure(slope, seasonal, period, noise=False)
 
@@ -147,15 +148,15 @@ def bsm_ng(y, sd_level, sd_slope=None, sd_seasonal=None, sd_noise=None,
     gamma observations)."""
     dist = _DIST_NAMES[distribution] if isinstance(distribution, str) \
         else int(distribution)
-    y = np.asarray(y, dtype=np.float64)
+    y = check_y(y, distribution=distribution
+                if isinstance(distribution, str) else None)
     n = y.shape[0]
-    u_ = np.ones(n) if u is None else np.broadcast_to(
-        np.asarray(u, np.float64), (n,)).copy()
+    u_ = np.ones(n) if u is None else check_u(u, y)
     slope = sd_slope is not None
     seasonal = sd_seasonal is not None
     noise = sd_noise is not None
-    if seasonal and period is None:
-        raise ValueError("period required with a seasonal component")
+    if seasonal:
+        period = check_period(period, n)
     period = int(period or 1)
     m, Zv, Tm, Rm = _bsm_structure(slope, seasonal, period, noise)
 

@@ -16,6 +16,7 @@ import numpy as np
 
 from ..core.priors import IDENTITY
 from ..core.spec import NGSpec, SVM
+from ..core.validate import check_y
 from .base import Model, collect_priors
 
 
@@ -24,7 +25,7 @@ def svm(y, rho, sd_ar, sigma=None, mu=None, dtype=jnp.float64) -> Model:
         raise ValueError("provide exactly one of sigma (svm_type=0) "
                          "or mu (svm_type=1)")
     svm_type = 1 if sigma is None else 0   # sigma given -> "sigma" type 0
-    y = np.asarray(y, dtype=np.float64)
+    y = check_y(y)
     n = y.shape[0]
 
     stack, theta0, names = collect_priors([

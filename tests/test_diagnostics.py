@@ -113,3 +113,31 @@ def test_suggest_N(rng):
     res = suggest_N(model, replications=40)
     assert res["N"] <= 32       # psi-APF needs few particles
     assert res["sd"] < 1.0
+
+
+def test_exports_and_validation(rng):
+    model, y, out = _poisson_fit(rng, iters=400, output_type="full")
+    df = out.to_dataframe("theta")
+    assert set(df.columns) >= {"iter", "chain", "variable", "value",
+                               "weight"}
+    assert df["variable"].nunique() == 2
+    ds = out.as_draws()
+    assert "rho" in ds and ds["rho"].ndim == 2
+    sdf = out.to_dataframe("states")
+    assert len(sdf) > 0
+
+    # validation errors (reference check_arguments semantics)
+    import pytest
+    from bssm_tpu.models.bsm import bsm_ng
+    from bssm_tpu.core.priors import halfnormal_prior
+    with pytest.raises(ValueError):
+        bsm_ng(np.array([1.0, np.inf, 2.0]),
+               sd_level=halfnormal_prior(0.1, 1), distribution="poisson")
+    with pytest.raises(ValueError):
+        bsm_ng(np.array([1.0, -2.0, 2.0]),
+               sd_level=halfnormal_prior(0.1, 1), distribution="poisson")
+    with pytest.raises(ValueError):
+        bsm_ng(np.arange(10).astype(float),
+               sd_level=halfnormal_prior(0.1, 1),
+               sd_seasonal=halfnormal_prior(0.1, 1), period=2,
+               distribution="poisson")
