@@ -76,3 +76,46 @@ def test_datasets_load():
                         ("exchange", (945,)), ("negbin_series", (200, 2))]:
         d = load_rda(f"{DATA}/{name}.rda")[name]
         assert np.asarray(d).shape == shape
+
+
+@pytest.mark.slow
+def test_drownings_poisson_consistency():
+    """Drownings config (BASELINE.md): bsm_ng Poisson with exposure u;
+    cross-method consistency is2 == da within MC error
+    (`/root/reference/tests/testthat/` strategy #2)."""
+    d = load_rda(f"{DATA}/drownings.rda")["drownings"]
+    # columns: deaths, population (1e5), summer_temp (demeaned), raw temp
+    # (`/root/reference/R/bssm-package.R:141-145`)
+    deaths, population, summer_temp = d[:, 0], d[:, 1], d[:, 2]
+    model = bsm_ng(deaths, u=population, xreg=summer_temp,
+                   beta=normal_prior(0.0, 0.0, 1.0),
+                   sd_level=halfnormal_prior(0.05, 1.0),
+                   sd_slope=halfnormal_prior(0.005, 0.1),
+                   distribution="poisson")
+    o1 = run_mcmc(model, iter=8000, burnin=2000, particles=10,
+                  mcmc_type="is2", seed=1, output_type="theta", n_chains=2)
+    o2 = run_mcmc(model, iter=8000, burnin=2000, particles=10,
+                  mcmc_type="da", seed=2, output_type="theta", n_chains=2)
+    m1 = np.average(o1.flat_theta(), axis=0, weights=o1.flat_weights())
+    m2 = o2.flat_theta().mean(axis=0)
+    np.testing.assert_allclose(m1, m2, rtol=0.4, atol=0.01)
+    assert np.all(np.isfinite(m1))
+
+
+@pytest.mark.slow
+def test_exchange_svm_consistency():
+    """Exchange-rate SV config (BASELINE.md): psi-APF IS2 vs PM agree."""
+    from bssm_tpu.models.svm import svm
+    y = np.asarray(load_rda(f"{DATA}/exchange.rda")["exchange"], float)
+    model = svm(y, rho=uniform_prior(0.98, -0.999, 0.999),
+                sd_ar=halfnormal_prior(0.15, 5.0),
+                sigma=halfnormal_prior(0.6, 2.0))
+    o1 = run_mcmc(model, iter=6000, burnin=2000, particles=10,
+                  mcmc_type="is2", seed=3, output_type="theta", n_chains=2)
+    o2 = run_mcmc(model, iter=6000, burnin=2000, particles=10,
+                  mcmc_type="pm", seed=4, output_type="theta", n_chains=2)
+    m1 = np.average(o1.flat_theta(), axis=0, weights=o1.flat_weights())
+    m2 = o2.flat_theta().mean(axis=0)
+    assert 0.8 < m1[0] < 1.0          # persistent volatility on full data
+    for a, b, tol in zip(m1, m2, (0.05, 0.05, 0.12)):
+        assert abs(a - b) < tol, (m1, m2)
