@@ -61,6 +61,9 @@ def approximate(spec: NGSpec, conv_tol: float = CONV_TOL,
     """Full Laplace iteration from ``spec.initial_mode``."""
     n = spec.n
     mode0 = spec.initial_mode.astype(spec.y.dtype)
+    # conv_tol below the dtype noise floor would always exhaust max_iter
+    # (f32 eps ~1e-7); clamp to a resolvable tolerance
+    conv_tol = max(conv_tol, 50.0 * float(jnp.finfo(spec.y.dtype).eps))
 
     def cond(carry):
         _, _, _, i, diff = carry

@@ -61,6 +61,9 @@ def approximate_mv(spec: MVNGSpec, conv_tol=CONV_TOL,
     """Laplace iteration (`/root/reference/src/model_ssm_mng.cpp:84-120`)."""
     n = spec.n
     mode0 = spec.initial_mode.astype(spec.y.dtype)
+    # conv_tol below the dtype noise floor would always exhaust max_iter
+    # (f32 eps ~1e-7); clamp to a resolvable tolerance
+    conv_tol = max(conv_tol, 50.0 * float(jnp.finfo(spec.y.dtype).eps))
 
     def cond(c):
         _, _, _, i, diff = c

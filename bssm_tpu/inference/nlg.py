@@ -206,6 +206,7 @@ def approximate_nlg(spec: NLGSpec) -> NLGApprox:
     (`/root/reference/src/model_ssm_nlg.cpp:62-151`)."""
     n = spec.n
     dt = spec.y.dtype
+    conv_tol = max(spec.conv_tol, 50.0 * float(jnp.finfo(dt).eps))
     r = ekf(spec)
     g0 = build_approx(spec, r.at[:-1], att=r.att)
     mode0 = kalman_mv.fast_smoother_mv(g0)[:n]
@@ -213,7 +214,7 @@ def approximate_nlg(spec: NLGSpec) -> NLGApprox:
 
     def cond(c):
         mode, ll, i, rel_diff, abs_diff, ok = c
-        return ok & (i < spec.max_iter) & (rel_diff > spec.conv_tol) \
+        return ok & (i < spec.max_iter) & (rel_diff > conv_tol) \
             & (abs_diff > 1e-4)
 
     def body(c):
@@ -227,7 +228,7 @@ def approximate_nlg(spec: NLGSpec) -> NLGApprox:
         # step-halving backtracking when the objective decreased
         def bt_cond(b):
             mode_b, ll_b, rel_b, abs_b, ii = b
-            return (rel_b < -spec.conv_tol) & (ii < 15) & (abs_b > 1e-4)
+            return (rel_b < -conv_tol) & (ii < 15) & (abs_b > 1e-4)
 
         def bt_body(b):
             mode_b, ll_b, rel_b, abs_b, ii = b
@@ -237,7 +238,7 @@ def approximate_nlg(spec: NLGSpec) -> NLGApprox:
             return (mode_try, ll_try, (ll_try - ll) / jnp.abs(ll),
                     ll_try - ll, ii + 1)
 
-        need_bt = (rel_diff < -spec.conv_tol) & (i > 0) & (abs_diff > 1e-4)
+        need_bt = (rel_diff < -conv_tol) & (i > 0) & (abs_diff > 1e-4)
         mode_b, ll_b, rel_b, abs_b, ii = jax.lax.while_loop(
             bt_cond, bt_body,
             (mode_new, ll_new, jnp.where(need_bt, rel_diff, 0.0),

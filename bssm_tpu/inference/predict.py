@@ -94,6 +94,54 @@ def _signal(spec, alpha):
     return D + jnp.einsum('tm,tm->t', Z, alpha[:n])
 
 
+def _sim_states_nlg(spec, a1, key):
+    """Forward-simulate nonlinear states (`model_ssm_nlg.cpp:1322-1409`)."""
+    n, m, k = spec.n, spec.m, spec.k
+    dt = spec.y.dtype
+    eta = jax.random.normal(key, (n, k), dt)
+
+    def step(carry, xs):
+        a, t = carry
+        e = xs
+        a_next = spec.T_fn(t, a, spec.theta) \
+            + spec.R_fn(t, a, spec.theta) @ e
+        return (a_next, t + 1), a
+
+    (_, _), alphas = jax.lax.scan(step, (a1, jnp.zeros((), jnp.int32)),
+                                  eta)
+    return alphas                                   # (n, m)
+
+
+def _predict_nlg(output, model, type, nsim, seed):
+    from ..models.nlg import NLGSpec   # noqa: F401
+    key = jax.random.PRNGKey(seed)
+    th_flat = output.flat_theta()
+    w = output.flat_weights()
+    alpha_last = output.alpha.reshape((-1,) + output.alpha.shape[2:])[:, -1]
+    k_pick, k_sim = jax.random.split(key)
+    idx = np.asarray(jax.random.choice(k_pick, th_flat.shape[0], (nsim,),
+                                       p=jnp.asarray(w / w.sum())))
+    thetas = jnp.asarray(th_flat[idx])
+    a1s = jnp.asarray(alpha_last[idx])
+    keys = jax.random.split(k_sim, nsim)
+
+    def one(theta_nat, a1, k):
+        spec = model.build(_to_sampled(model, theta_nat))
+        k_a, k_y = jax.random.split(k)
+        alpha = _sim_states_nlg(spec, a1, k_a)
+        if type == "state":
+            return alpha
+        tr = jnp.arange(spec.n)
+        mean = jax.vmap(lambda t, a: spec.Z_fn(t, a, spec.theta))(tr, alpha)
+        if type == "mean":
+            return mean
+        eps = jax.random.normal(k_y, (spec.n, spec.p), spec.y.dtype)
+        Hm = jax.vmap(lambda t, a: spec.H_fn(t, a, spec.theta))(tr, alpha)
+        return mean + jnp.einsum('tij,tj->ti', Hm, eps)
+
+    return np.asarray(jax.jit(jax.vmap(one))(thetas, a1s, keys))
+
+
 def predict(output, model: Model, type: str = "response", nsim: int = 1000,
             seed: int = 1):
     """Posterior predictive draws over the timeline of ``model``
@@ -102,6 +150,8 @@ def predict(output, model: Model, type: str = "response", nsim: int = 1000,
     states seed the state recursion."""
     if output.alpha is None:
         raise ValueError("predict needs output_type='full'")
+    if model.kind == "nlg":
+        return _predict_nlg(output, model, type, nsim, seed)
     key = jax.random.PRNGKey(seed)
     th_flat = output.flat_theta()
     w = output.flat_weights()

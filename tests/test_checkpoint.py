@@ -41,3 +41,18 @@ def test_ekf_mcmc_nlg():
     assert np.all(np.isfinite(out.flat_theta()))
     assert np.all(np.isfinite(out.posterior))
     assert out.alpha is not None and np.all(np.isfinite(out.alpha))
+
+
+def test_predict_nlg():
+    from bssm_tpu.inference.predict import predict
+    y = simulate_growth(n=25, seed=9)
+    model = nlg_growth(y)
+    out = run_mcmc(model, iter=300, mcmc_type="ekf", seed=5,
+                   output_type="full")
+    future = nlg_growth(np.full(8, np.nan))
+    pr = predict(out, future, type="response", nsim=50, seed=1)
+    assert pr.shape == (50, 8, 1)
+    pm = predict(out, future, type="mean", nsim=50, seed=1)
+    assert np.all(np.isfinite(pm))
+    ps = predict(out, future, type="state", nsim=50, seed=1)
+    assert ps.shape == (50, 8, 2)
