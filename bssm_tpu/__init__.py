@@ -17,7 +17,7 @@ from .core.priors import (uniform_prior, halfnormal_prior, normal_prior,
 from .models.bsm import bsm_lg, bsm_ng
 from .models.ar1 import ar1_lg, ar1_ng
 from .models.svm import svm
-from .models.ssm import ssm_ulg, ssm_ung, ssm_mlg, ssm_mng
+from .models.ssm import ssm_ulg, ssm_ung, ssm_mlg, ssm_mng, as_bssm
 from .models.nlg import ssm_nlg
 from .models.sde import ssm_sde, sde_gbm, sde_poisson_ou
 from .models import examples as example_models

@@ -757,6 +757,13 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
     chain_keys = jax.random.split(key, n_chains + 1)
     is_key, chain_keys = chain_keys[0], chain_keys[1:]
 
+    # fail fast on non-finite initial prior (reference `mcmc.cpp:201-205`)
+    th_check = theta0 if jnp.asarray(theta0).ndim == 1 \
+        else jnp.asarray(theta0)[0]
+    lp0 = float(model.log_prior(jnp.asarray(th_check)))
+    if not np.isfinite(lp0):
+        raise ValueError("Initial prior probability is not finite.")
+
     common = dict(n_iter=iter, burnin=burnin, thin=thin,
                   target=target_acceptance, gamma=gamma,
                   end_ram=end_adaptive_phase)
@@ -875,6 +882,10 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
 
     if out.time is None:
         out.time = {"mcmc": t_mcmc}
+    if out.acceptance_rate == 0.0:
+        import warnings
+        warnings.warn("No proposals were accepted after burn-in. "
+                      "Check your model.", RuntimeWarning)
     return out
 
 

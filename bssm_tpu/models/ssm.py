@@ -211,3 +211,23 @@ def ssm_mng(y, Z, T, R, distributions, phi=None, u=None, a1=None, P1=None,
                     initial_mode=jnp.asarray(mode0, dtype))
     return _make_model(spec, update_fn, prior_fn, init_theta, "mng",
                        {"m": m, "n": n, "p": p}, theta_names)
+
+
+def as_bssm(y, Z, H, T, R, a1=None, P1=None, D=None, C=None,
+            distribution=None, phi=1.0, u=None, **kwargs):
+    """Build a general model from raw system matrices — the Python analogue
+    of the reference's KFAS converter (`/root/reference/R/as_bssm.R:26`):
+    Gaussian matrices map to ssm_ulg/ssm_mlg, an observation family to
+    ssm_ung/ssm_mng."""
+    import numpy as _np
+    y_np = _np.asarray(y, _np.float64)
+    multivariate = y_np.ndim == 2 and y_np.shape[1] > 1
+    if distribution is None:
+        if multivariate:
+            return ssm_mlg(y, Z, H, T, R, a1=a1, P1=P1, D=D, C=C, **kwargs)
+        return ssm_ulg(y, Z, H, T, R, a1=a1, P1=P1, D=D, C=C, **kwargs)
+    if multivariate:
+        return ssm_mng(y, Z, T, R, distributions=distribution, phi=phi, u=u,
+                       a1=a1, P1=P1, D=D, C=C, **kwargs)
+    return ssm_ung(y, Z, T, R, distribution=distribution, phi=phi, u=u,
+                   a1=a1, P1=P1, D=D, C=C, **kwargs)
