@@ -10,6 +10,14 @@ chains and particle ensembles sharded over TPU meshes.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Kalman covariance recursions are numerically meaningless under the TPU's
+# default bf16 matmul passes (NaN log-likelihoods, non-converging Laplace
+# iterations).  The system matrices here are tiny (m <= ~20), so full-f32
+# multiplication costs nothing; force it globally.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .core.spec import (LGSpec, MVLGSpec, NGSpec, MVNGSpec,
                         SVM, POISSON, BINOMIAL, NEGBIN, GAMMA, GAUSSIAN)
 from .core.priors import (uniform_prior, halfnormal_prior, normal_prior,
