@@ -497,9 +497,15 @@ def _ekf_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
 # --------------------------------------------------------------------------
 
 def _make_correct_one(model: Model, nsim, sampling_method,
-                      conv_tol=1e-8, max_iter=100):
+                      conv_tol=1e-8, max_iter=100,
+                      want_states=True, want_moments=True):
     """One psi/bsf/spdk correction for a single stored draw
-    (`/root/reference/src/approx_mcmc.cpp:353-427,447-518,606-678`)."""
+    (`/root/reference/src/approx_mcmc.cpp:353-427,447-518,606-678`).
+
+    Per-slot outputs are FLATTENED to 1-D: TPU tile padding turns scan-
+    collected arrays with tiny trailing dims (n+1, m, m) into 64x their
+    logical size (observed 26 GB for a 414 MB moment stack); 1-D outputs
+    pad only the last dim to the 128-lane boundary."""
     ops = _family_ops(model, conv_tol, max_iter)
 
     def correct_one(args):
@@ -517,19 +523,25 @@ def _make_correct_one(model: Model, nsim, sampling_method,
             log_w, traced, final_w = ops.spdk(spec, mode_i, nsim, k_pf)
         else:
             raise ValueError(sampling_method)
-        idx = jax.random.categorical(k_draw, jnp.log(final_w + 1e-300))
-        alpha_draw = traced[idx]                       # (n+1, m)
-        mean_i = jnp.einsum('i,itm->tm', final_w, traced) / jnp.sum(final_w)
-        dev = traced - mean_i
-        Vt_i = jnp.einsum('i,itm,itk->tmk', final_w, dev, dev) \
-            / jnp.sum(final_w)
-        return log_w, alpha_draw, mean_i, Vt_i
+        out = {"log_w": log_w}
+        if want_states:
+            idx = jax.random.categorical(k_draw, jnp.log(final_w + 1e-300))
+            out["alpha"] = traced[idx].reshape(-1)       # (n+1)*m flat
+        if want_moments:
+            sw = jnp.sum(final_w)
+            mean_i = jnp.einsum('i,itm->tm', final_w, traced) / sw
+            dev = traced - mean_i
+            Vt_i = jnp.einsum('i,itm,itk->tmk', final_w, dev, dev) / sw
+            out["mean"] = mean_i.reshape(-1)
+            out["Vt"] = Vt_i.reshape(-1)
+        return out
 
     return correct_one
 
 
 def _is_correction_flat(model: Model, thetas, modes, key, nsim,
-                        sampling_method, batch_size, mesh=None):
+                        sampling_method, batch_size, mesh=None,
+                        want_states=True, want_moments=True):
     """IS correction over a flat axis of stored draws — the reference's
     OpenMP loop (`approx_mcmc.cpp:364-368`) as chunked, mesh-sharded vmaps.
 
@@ -537,15 +549,17 @@ def _is_correction_flat(model: Model, thetas, modes, key, nsim,
     leading axis S.  With a mesh, each chunk's batch axis is sharded over the
     full device mesh (chains x draws), so S/devices corrections run per chip.
     """
-    correct_one = _make_correct_one(model, nsim, sampling_method)
+    correct_one = _make_correct_one(model, nsim, sampling_method,
+                                    want_states=want_states,
+                                    want_moments=want_moments)
     Ns = thetas.shape[0]
     keys = jax.random.split(key, Ns)
 
     if mesh is None:
         bs = min(Ns, batch_size)
-        log_w, alpha_draw, mean_i, Vt_i = jax.lax.map(
-            correct_one, (thetas, modes, keys), batch_size=bs)
-        return log_w, alpha_draw, mean_i, Vt_i
+        out = jax.lax.map(correct_one, (thetas, modes, keys),
+                          batch_size=bs)
+        return out
 
     from ..parallel.mesh import flat_sharding
     sh = flat_sharding(mesh)
@@ -846,32 +860,38 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
         is_type = int(mcmc_type[-1])
         C, Sn = res["theta"].shape[:2]
         flat = lambda a: a.reshape((C * Sn,) + a.shape[2:])   # noqa: E731
+        want_states = output_type == "full"
+        want_moments = output_type == "summary"
         corr_fn = jax.jit(lambda th, mo, k: _is_correction_flat(
             model, th, mo, k, particles, sampling_method,
-            batch_size=corr_batch or 256, mesh=mesh))
-        log_w, alpha_draw, mean_i, Vt_i = corr_fn(
-            flat(res["theta"]), flat(res["modes"]), is_key)
+            batch_size=corr_batch or 256, mesh=mesh,
+            want_states=want_states, want_moments=want_moments))
+        corr = corr_fn(flat(res["theta"]), flat(res["modes"]), is_key)
         unflat = lambda a: a.reshape((C, Sn) + a.shape[1:])   # noqa: E731
-        log_w = unflat(log_w)
+        log_w = unflat(corr["log_w"])
         if sampling_method == "bsf":
             log_w = log_w - res["approx_ll"]
         if is_type == 2:
             # one correction per jump-chain head, shared across duplicates
-            log_w, alpha_draw, mean_i, Vt_i = jax.vmap(_forward_fill_heads)(
-                (log_w, unflat(alpha_draw), unflat(mean_i), unflat(Vt_i)),
-                res["accepted"])
+            rest = {k: unflat(v) for k, v in corr.items() if k != "log_w"}
+            filled = jax.vmap(_forward_fill_heads)(
+                (log_w, rest), res["accepted"])
+            log_w, rest = filled
         else:
-            alpha_draw, mean_i, Vt_i = (unflat(alpha_draw), unflat(mean_i),
-                                        unflat(Vt_i))
+            rest = {k: unflat(v) for k, v in corr.items() if k != "log_w"}
         log_w = np.asarray(log_w)
         out.weights = np.exp(log_w)
         out.posterior = out.prior + out.approx_loglik + log_w
-        if output_type == "full":
-            out.alpha = np.asarray(alpha_draw)
-        elif output_type == "summary":
+        spec0 = model.build(model.theta_init)
+        n1m = (spec0.n + 1, spec0.m)
+        if want_states:
+            out.alpha = np.asarray(rest["alpha"]).reshape(
+                (C, Sn) + n1m)
+        elif want_moments:
             w = out.weights.reshape(-1)
-            means = np.asarray(mean_i).reshape((-1,) + mean_i.shape[2:])
-            vts = np.asarray(Vt_i).reshape((-1,) + Vt_i.shape[2:])
+            means = np.asarray(rest["mean"]).reshape((-1,) + n1m)
+            vts = np.asarray(rest["Vt"]).reshape(
+                (-1,) + n1m + (spec0.m,))
             sw = np.sum(w)
             mean = np.einsum('s,stm->tm', w, means) / sw
             dev = means - mean

@@ -41,21 +41,24 @@ def post_correct(model: Model, output: McmcOutput, particles: int,
     key = jax.random.PRNGKey(seed)
     corr_fn = jax.jit(lambda t, m, k: _is_correction_flat(
         model, t, m, k, particles, sampling_method,
-        batch_size=corr_batch, mesh=mesh))
-    log_w, alpha_draw, mean_i, Vt_i = corr_fn(th, modes, key)
+        batch_size=corr_batch, mesh=mesh,
+        want_states=True, want_moments=False))
+    corr = corr_fn(th, modes, key)
+    spec0 = model.build(model.theta_init)
+    n1m = (spec0.n + 1, spec0.m)
 
     unflat = lambda a: np.asarray(a).reshape(                 # noqa: E731
         (C, Sn) + a.shape[1:])
-    log_w = unflat(log_w)
+    log_w = unflat(corr["log_w"])
+    alpha_flat = unflat(corr["alpha"])
     if sampling_method == "bsf" and output.approx_loglik is not None:
         log_w = log_w - output.approx_loglik
     if is_type == 2:
         filled = jax.vmap(_forward_fill_heads)(
-            (jnp.asarray(log_w), jnp.asarray(unflat(alpha_draw))),
+            (jnp.asarray(log_w), jnp.asarray(alpha_flat)),
             jnp.asarray(output.accepted))
-        log_w, alpha_new = (np.asarray(filled[0]), np.asarray(filled[1]))
-    else:
-        alpha_new = unflat(alpha_draw)
+        log_w, alpha_flat = (np.asarray(filled[0]), np.asarray(filled[1]))
+    alpha_new = np.asarray(alpha_flat).reshape((C, Sn) + n1m)
 
     out = copy.copy(output)
     out.weights = np.exp(log_w)
@@ -81,9 +84,12 @@ def suggest_N(model: Model, theta=None, candidates=(2, 4, 8, 16, 32, 64,
 
     results = {}
     for N in candidates:
-        correct_one = _make_correct_one(model, N, sampling_method)
+        correct_one = _make_correct_one(model, N, sampling_method,
+                                        want_states=False,
+                                        want_moments=False)
         keys = jax.random.split(jax.random.PRNGKey(seed + N), replications)
-        f = jax.jit(jax.vmap(lambda k: correct_one((theta, mode, k))[0]))
+        f = jax.jit(jax.vmap(
+            lambda k: correct_one((theta, mode, k))["log_w"]))
         lw = np.asarray(f(keys))
         results[N] = float(np.std(lw))
         if results[N] < 1.0:
