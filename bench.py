@@ -54,8 +54,8 @@ def main():
                    sd_slope=halfnormal_prior(0.01, 0.1),
                    distribution="poisson", dtype=jnp.float32)
 
-    n_chains = 32
-    iters = 2000
+    n_chains = 128
+    iters = 1000
     particles = 10
 
     def run(seed):
@@ -63,10 +63,19 @@ def main():
                         mcmc_type="is2", n_chains=n_chains, seed=seed,
                         output_type="theta", corr_batch=512)
 
-    run(0)                      # compile warm-up (cached for same shapes)
-    t0 = time.time()
-    out = run(1)
-    elapsed = time.time() - t0
+    # the tunnel to the device occasionally drops mid-run; retry a few times
+    out = None
+    for attempt in range(3):
+        try:
+            run(0)              # compile warm-up (cached for same shapes)
+            t0 = time.time()
+            out = run(1)
+            elapsed = time.time() - t0
+            break
+        except Exception as e:
+            if attempt == 2:
+                raise
+            time.sleep(30)
 
     total_samples = n_chains * iters
     sps = total_samples / elapsed

@@ -278,7 +278,8 @@ def _gaussian_chain(model: Model, n_iter, burnin, thin, target, gamma,
             keys = jax.random.split(final.key, len(sl))
 
             def draw(th, k):
-                return _draw_states(model.build(th), k)
+                # flatten: avoids TPU tile padding of (n+1, small-m) stacks
+                return _draw_states(model.build(th), k).reshape(-1)
 
             out["alpha"] = jax.vmap(draw)(out["theta"], keys)
         elif output_type == "summary":
@@ -482,7 +483,8 @@ def _ekf_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
                 spec = model.build(th)
                 r = nlg_mod.ekf(spec)
                 g = nlg_mod.build_approx(spec, r.at[:-1], att=r.att)
-                return simulate_states_mv(g, 1, k, use_antithetic=False)[0]
+                return simulate_states_mv(
+                    g, 1, k, use_antithetic=False)[0].reshape(-1)
 
             out["alpha"] = jax.lax.map(
                 lambda a: draw(a[0], a[1]), (out["theta"], keys),
@@ -627,11 +629,12 @@ def _pm_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
     def logdens(theta, key, aux):
         ll, all_, alpha = _pf_loglik(model, theta, key, nsim,
                                      sampling_method, conv_tol, max_iter)
-        aux_new = alpha if store_alpha else ()
+        aux_new = alpha.reshape(-1) if store_alpha else ()
         return ll, all_, aux_new
 
     def chain(key, theta0, S0):
-        aux0 = jnp.zeros((n + 1, m), spec0.y.dtype) if store_alpha else ()
+        aux0 = jnp.zeros(((n + 1) * m,), spec0.y.dtype) if store_alpha \
+            else ()
         final, thetas, lps, lls, accepted, auxs = _ram_scan(
             logdens, model.log_prior, theta0, S0, key, n_iter, burnin,
             target, gamma, end_ram, aux0=aux0)
@@ -664,6 +667,7 @@ def _da_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
     def chain(key, theta0, S0):
         key, k0 = jax.random.split(key)
         ll0, all0, alpha0 = full_eval(theta0, k0)
+        alpha0 = alpha0.reshape(-1)
         lp0 = model.log_prior(theta0)
 
         def body(carry, i):
@@ -691,7 +695,7 @@ def _da_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
                 ll_prop, _, alpha_prop = full_eval(prop, k_den)
                 log_alpha = ll_prop + ll_approx - ll - ll_approx_prop
                 acc2 = jnp.log(jax.random.uniform(k_a2, (), dt)) < log_alpha
-                return acc2, ll_prop, alpha_prop
+                return acc2, ll_prop, alpha_prop.reshape(-1)
 
             def no2(_):
                 return jnp.asarray(False), jnp.asarray(_NEG_INF, dt), \
@@ -834,15 +838,20 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
         theta_names=model.theta_names, mcmc_type=mcmc_type,
         output_type=output_type, iter=iter, burnin=burnin, thin=thin)
 
+    spec00 = model.build(theta0 if jnp.asarray(theta0).ndim == 1
+                         else jnp.asarray(theta0)[0])
+    n1m_shape = (spec00.n + 1, spec00.m)
     if mcmc_type in ("gaussian", "ekf"):
         if output_type == "full" and "alpha" in res:
-            out.alpha = np.asarray(res["alpha"])
+            out.alpha = np.asarray(res["alpha"]).reshape(
+                res["alpha"].shape[:2] + n1m_shape)
         elif output_type == "summary" and "alphahat" in res:
             out.alphahat = np.asarray(jnp.mean(res["alphahat"], axis=0))
             out.Vt = np.asarray(jnp.mean(res["Vt"], axis=0))
     elif mcmc_type in ("pm", "da"):
         if output_type == "full":
-            out.alpha = np.asarray(res["alpha"])
+            out.alpha = np.asarray(res["alpha"]).reshape(
+                res["alpha"].shape[:2] + n1m_shape)
     elif mcmc_type == "approx":
         out.prior = np.asarray(res["prior"])
         out.approx_loglik = np.asarray(res["approx_ll"])
@@ -923,10 +932,14 @@ def _approx_state_draws(model: Model, res, key):
             from ..ops.kalman_mv import simulate_states_mv
             from .nlg import build_approx
             g = build_approx(spec, mode_i)
-            return simulate_states_mv(g, 1, k, use_antithetic=False)[0]
-        ar = approx_mod.approximate_for_is(spec, mode_i)
-        g = ar.gaussian(spec)
-        return simulate_states_single(g, k)
+            a = simulate_states_mv(g, 1, k, use_antithetic=False)[0]
+        else:
+            ar = approx_mod.approximate_for_is(spec, mode_i)
+            g = ar.gaussian(spec)
+            a = simulate_states_single(g, k)
+        return a.reshape(-1)
 
     f = jax.jit(jax.vmap(jax.vmap(draw_one)))
-    return f(thetas, modes, keys)
+    flat = f(thetas, modes, keys)
+    spec0 = model.build(thetas[0, 0])
+    return flat.reshape(flat.shape[:2] + (spec0.n + 1, spec0.m))
