@@ -148,6 +148,8 @@ class MVPFResult(NamedTuple):
 
 
 def _lse(logw, N, dt):
+    # non-finite particle weights (f32 overflow artifacts) count as zero
+    logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
     mx = jnp.max(logw)
     w = jnp.exp(logw - mx)
     sw = jnp.sum(w)

@@ -889,7 +889,11 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
         else:
             rest = {k: unflat(v) for k, v in corr.items() if k != "log_w"}
         log_w = np.asarray(log_w)
-        out.weights = np.exp(log_w)
+        # non-finite corrections -> zero weight; store weights shifted by the
+        # global max so exp never overflows (IS averages are scale-invariant)
+        log_w = np.where(np.isfinite(log_w), log_w, -np.inf)
+        shift = np.max(log_w[np.isfinite(log_w)], initial=0.0)
+        out.weights = np.exp(log_w - shift)
         out.posterior = out.prior + out.approx_loglik + log_w
         spec0 = model.build(model.theta_init)
         n1m = (spec0.n + 1, spec0.m)

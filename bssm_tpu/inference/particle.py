@@ -35,6 +35,8 @@ class PFResult(NamedTuple):
 
 
 def _lse_update(logw, N, dtype):
+    # non-finite particle weights (f32 overflow artifacts) count as zero
+    logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
     mx = jnp.max(logw)
     w = jnp.exp(logw - mx)
     sw = jnp.sum(w)
