@@ -1,0 +1,30 @@
+"""Runtime configuration knobs (trace-time constants).
+
+``time_parallel``: route Kalman recursions through the associative-scan
+(parallel-in-time) implementations — O(log n) depth instead of O(n)
+sequential steps.  Wins when chains x state-dim underfills the chip (few
+chains / long series); the sequential scan wins when thousands of vmapped
+chains already saturate it.  Changing the flag requires retracing (new jit
+cache entries), which happens automatically on the next call.
+"""
+from __future__ import annotations
+
+import contextlib
+
+time_parallel: bool = False
+
+
+def set_time_parallel(value: bool) -> None:
+    global time_parallel
+    time_parallel = bool(value)
+
+
+@contextlib.contextmanager
+def parallel_time(value: bool = True):
+    global time_parallel
+    old = time_parallel
+    time_parallel = bool(value)
+    try:
+        yield
+    finally:
+        time_parallel = old

@@ -16,6 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..core import config as _config
 from ..core import distributions as fam
 from ..core.spec import LGSpec, NGSpec, SVM
 from ..ops import kalman
@@ -69,11 +70,16 @@ def approximate(spec: NGSpec, conv_tol: float = CONV_TOL,
         _, _, _, i, diff = carry
         return (i < max_iter) & (diff > conv_tol)
 
+    if _config.time_parallel:
+        from ..ops.pkalman import fast_smoother_parallel as _fs
+    else:
+        _fs = kalman.fast_smoother
+
     def body(carry):
         mode, _, _, i, _ = carry
         yt, H = _one_match(spec, mode)
         approx = spec.approx_gaussian(yt, H)
-        alpha = kalman.fast_smoother(approx)
+        alpha = _fs(approx)
         new_mode = signal_from_states(spec, alpha[:n])
         diff = jnp.sum(jnp.square(new_mode - mode)) / n
         return (new_mode, yt, H, i + 1, diff)
@@ -109,7 +115,11 @@ def approx_loglik(spec: NGSpec, approx: ApproxResult | None = None,
     if approx is None:
         approx = approximate(spec, conv_tol, max_iter)
     g = approx.gaussian(spec)
-    gll = kalman.log_likelihood(g)
+    if _config.time_parallel:
+        from ..ops.pkalman import log_likelihood_parallel
+        gll = log_likelihood_parallel(g)
+    else:
+        gll = kalman.log_likelihood(g)
     sc = fam.scales(spec.distribution, spec.y, spec.u, spec.phi,
                     approx.mode, approx.ytilde, approx.Htilde)
     sc = jnp.where(spec.obs_mask, sc, 0.0)

@@ -150,3 +150,70 @@ def kfilter_parallel(spec: LGSpec) -> PFilterResult:
 
 def log_likelihood_parallel(spec: LGSpec) -> jnp.ndarray:
     return kfilter_parallel(spec).logLik
+
+
+# ---------------------------------------------------------------------------
+# fully parallel-in-time fast smoother (mean-only)
+# ---------------------------------------------------------------------------
+
+def _affine_combine(e1, e2):
+    """Compose affine maps f(x) = b + M x: e2 after e1 -> (b2 + M2 b1,
+    M2 M1).  With associative_scan this yields running compositions."""
+    b1, M1 = e1
+    b2, M2 = e2
+    b = b2 + (M2 @ b1[..., None])[..., 0]
+    M = M2 @ M1
+    return b, M
+
+
+def fast_smoother_parallel(spec: LGSpec) -> jnp.ndarray:
+    """O(log n)-depth mean smoother == `kalman.fast_smoother`.
+
+    All three passes become parallel scans: the forward filter via the
+    associative Kalman elements, the backward r-recursion and the forward
+    mean recursion as affine-map prefix compositions.  This makes the
+    Laplace approximation loop parallel in time — the dominant cost of
+    approximate/IS MCMC phase 1."""
+    n, m = spec.n, spec.m
+    dt = spec.y.dtype
+    flt = kfilter_parallel(spec)
+
+    yb, obsb, Zb, HHb, Tb, RRb, Db, Cb = _step_arrays(spec)
+    HHb = jnp.where(jnp.isfinite(HHb), HHb, 1.0)
+    F = jnp.einsum('tm,tmk,tk->t', Zb, flt.Pt, Zb) + HHb
+    ok = obsb & (F > ZERO_TOL)
+    okf = ok.astype(dt)
+    Fs = jnp.where(ok, F, 1.0)
+    v = jnp.where(ok, yb - Db - jnp.einsum('tm,tm->t', Zb, flt.at), 0.0)
+    K = jnp.einsum('tmk,tk->tm', flt.Pt, Zb) / Fs[:, None] * okf[:, None]
+
+    # L_t = T_t (I - K_t Z_t'); missing -> T_t
+    ImKZ = jnp.eye(m, dtype=dt) - jnp.einsum('tm,tk->tmk', K, Zb)
+    L = jnp.einsum('tmk,tkl->tml', Tb, ImKZ)
+
+    # backward: r_{t-1} = b_t + L_t' r_t, r_{n-1} = 0
+    bs = Zb * (v / Fs)[:, None] * okf[:, None]
+    Ms = jnp.swapaxes(L, -1, -2)
+    # suffix composition: comp[t] = f_t o f_{t+1} o ... o f_{n-1}.
+    # Under reverse=True the op receives (suffix aggregate, earlier element)
+    # — empirically verified — so compose as f_{e2} o f_{e1}:
+    comp_b, comp_M = jax.lax.associative_scan(
+        lambda e1, e2: (e2[0] + (e2[1] @ e1[0][..., None])[..., 0],
+                        e2[1] @ e1[1]),
+        (bs, Ms), reverse=True)
+    # r_{t-1} = comp[t](0) = comp_b[t];  r_t for t=0..n-1:
+    r_minus1 = comp_b[0]
+    rt = jnp.concatenate([comp_b[1:], jnp.zeros((1, m), dt)], axis=0)
+
+    alpha0 = spec.a1 + spec.P1 @ r_minus1
+
+    # forward: alpha_{t+1} = (C_t + RR_t r_t) + T_t alpha_t
+    bf = Cb + jnp.einsum('tmk,tk->tm', RRb, rt)
+    Mf = Tb
+    # prefix composition: pre[t] = f_t o f_{t-1} o ... o f_0
+    pre_b, pre_M = jax.lax.associative_scan(
+        lambda e1, e2: (e2[0] + (e2[1] @ e1[0][..., None])[..., 0],
+                        e2[1] @ e1[1]),
+        (bf, Mf))
+    alphas = pre_b + jnp.einsum('tmk,k->tm', pre_M, alpha0)
+    return jnp.concatenate([alpha0[None], alphas], axis=0)
