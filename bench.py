@@ -33,7 +33,9 @@ def _probe_device(timeout_s: int = 180) -> bool:
 
 
 def main():
-    if not _probe_device():
+    if os.environ.get("BSSM_BENCH_FORCE") == "tpu":
+        pass                       # trust the accelerator, retries handle flaps
+    elif not _probe_device():
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
