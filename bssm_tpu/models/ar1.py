@@ -13,7 +13,7 @@ import numpy as np
 
 from ..core.priors import IDENTITY, LOG
 from ..core.spec import GAMMA, LGSpec, NEGBIN, NGSpec
-from ..core.validate import check_u, check_y
+from ..core.validate import check_beta, check_u, check_xreg, check_y
 from .base import Model, collect_priors, init_mode, _is_prior
 from .bsm import _DIST_NAMES
 
@@ -27,8 +27,9 @@ def ar1_lg(y, rho, sigma, mu=None, sd_y=None, beta=None, xreg=None,
     mu_fix = 0.0 if mu is None or mu_est else float(mu)
     sd_y_fix = 0.0 if sd_y is None or sd_y_est else float(sd_y)
 
-    xreg_np = None if xreg is None else np.atleast_2d(
-        np.asarray(xreg, dtype=np.float64)).reshape(n, -1)
+    xreg_np = None if xreg is None else check_xreg(xreg, n)
+    if xreg_np is not None:
+        check_beta(beta, xreg_np.shape[1])
     n_beta = 0 if xreg_np is None else xreg_np.shape[1]
 
     stack, theta0, names = collect_priors([
@@ -77,8 +78,9 @@ def ar1_ng(y, rho, sigma, mu=None, distribution="poisson", phi=1.0, u=None,
     phi_est = phi_used and _is_prior(phi)
     phi_init = float(phi.init) if phi_est else float(phi if phi_used else 1.0)
 
-    xreg_np = None if xreg is None else np.atleast_2d(
-        np.asarray(xreg, dtype=np.float64)).reshape(n, -1)
+    xreg_np = None if xreg is None else check_xreg(xreg, n)
+    if xreg_np is not None:
+        check_beta(beta, xreg_np.shape[1])
     n_beta = 0 if xreg_np is None else xreg_np.shape[1]
 
     stack, theta0, names = collect_priors([

@@ -19,7 +19,8 @@ import numpy as np
 
 from ..core.priors import IDENTITY, LOG
 from ..core.spec import GAMMA, LGSpec, NEGBIN, NGSpec
-from ..core.validate import check_period, check_u, check_y
+from ..core.validate import (check_beta, check_period, check_u, check_xreg,
+                             check_y)
 from .base import Model, collect_priors, init_mode, _is_prior
 
 _DIST_NAMES = {"svm": 0, "poisson": 1, "binomial": 2,
@@ -79,8 +80,9 @@ def bsm_lg(y, sd_y, sd_level, sd_slope=None, sd_seasonal=None,
     slo_est, slo_init = _sd_entry(sd_slope)
     sea_est, sea_init = _sd_entry(sd_seasonal)
 
-    xreg_np = None if xreg is None else np.atleast_2d(
-        np.asarray(xreg, dtype=np.float64)).reshape(n, -1)
+    xreg_np = None if xreg is None else check_xreg(xreg, n)
+    if xreg_np is not None:
+        check_beta(beta, xreg_np.shape[1])
 
     stack, theta0, names = collect_priors([
         ("sd_y", sd_y if y_est else None, LOG),
@@ -168,8 +170,9 @@ def bsm_ng(y, sd_level, sd_slope=None, sd_seasonal=None, sd_noise=None,
     phi_est = phi_used and _is_prior(phi)
     phi_init = float(phi.init) if phi_est else float(phi if phi_used else 1.0)
 
-    xreg_np = None if xreg is None else np.atleast_2d(
-        np.asarray(xreg, dtype=np.float64)).reshape(n, -1)
+    xreg_np = None if xreg is None else check_xreg(xreg, n)
+    if xreg_np is not None:
+        check_beta(beta, xreg_np.shape[1])
 
     stack, theta0, names = collect_priors([
         ("sd_level", sd_level if lvl_est else None, LOG),

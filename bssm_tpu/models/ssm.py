@@ -17,6 +17,7 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import validate as val
 from ..core.spec import LGSpec, MVLGSpec, MVNGSpec, NGSpec
 from .base import Model, init_mode
 from .bsm import _DIST_NAMES
@@ -30,38 +31,40 @@ def _tfirst(A, core_ndim):
     return jnp.moveaxis(A, -1, 0)
 
 
-def _norm_uni(Z, H, T, R, m):
-    """Univariate-obs system arrays -> spec layout."""
-    Z = jnp.asarray(Z)
-    Z = Z.reshape(1, m) if Z.ndim <= 1 else jnp.moveaxis(
-        Z.reshape(m, -1), -1, 0)
-    H = jnp.atleast_1d(jnp.asarray(H)).reshape(-1)
-    T = _tfirst(jnp.asarray(T).reshape(m, m, -1) if jnp.asarray(T).ndim == 3
-                else jnp.asarray(T).reshape(m, m), 2)
-    R_ = jnp.asarray(R)
-    if R_.ndim == 1:
-        R_ = R_.reshape(m, 1)
-    R = _tfirst(R_, 2)
-    return Z, H, T, R
+def _norm_uni(Z, H, T, R, n):
+    """Univariate-obs system arrays, R-style layouts validated and moved
+    to the spec (time-first) convention.  Returns (m, Z, H, T, R)."""
+    Z = val.check_Z(Z, 1, n)                       # (m, 1|n)
+    m = Z.shape[0]
+    T = val.check_T(T, m, n)                       # (m, m, 1|n)
+    R = val.check_R(R, m, n)                       # (m, k, 1|n)
+    H = val.check_H(H, 1, n)                       # (1|n,)
+    return m, (jnp.asarray(Z.T), jnp.asarray(H), jnp.asarray(
+        np.moveaxis(T, -1, 0)), jnp.asarray(np.moveaxis(R, -1, 0)))
 
 
-def _defaults(m, a1, P1, D, C, p=None, dtype=jnp.float64):
-    a1_ = jnp.zeros(m, dtype) if a1 is None else \
-        jnp.asarray(a1, dtype).reshape(m)
-    P1_ = jnp.zeros((m, m), dtype) if P1 is None else \
-        jnp.asarray(P1, dtype).reshape(m, m)
-    if D is None:
-        D_ = jnp.zeros(1, dtype) if p is None else jnp.zeros((1, p), dtype)
-    else:
-        D_ = jnp.asarray(D, dtype)
-        D_ = D_.reshape(-1) if p is None else \
-            (D_.reshape(1, p) if D_.ndim <= 1 else jnp.moveaxis(D_, -1, 0))
-    if C is None:
-        C_ = jnp.zeros((1, m), dtype)
-    else:
-        C_ = jnp.asarray(C, dtype)
-        C_ = C_.reshape(1, m) if C_.ndim <= 1 else jnp.moveaxis(
-            C_.reshape(m, -1), -1, 0)
+def _norm_mv(Z, H, T, R, p, n, with_H=True):
+    """Multivariate-obs system arrays -> spec layout."""
+    Z = val.check_Z(Z, p, n, multivariate=True)    # (p, m, 1|n)
+    m = Z.shape[1]
+    T = val.check_T(T, m, n)
+    R = val.check_R(R, m, n)
+    out = [jnp.asarray(np.moveaxis(Z, -1, 0)),
+           jnp.asarray(np.moveaxis(T, -1, 0)),
+           jnp.asarray(np.moveaxis(R, -1, 0))]
+    if with_H:
+        H = val.check_H(H, p, n, multivariate=True)
+        out.append(jnp.asarray(np.moveaxis(H, -1, 0)))
+    return m, out
+
+
+def _defaults(m, a1, P1, D, C, n, p=None, dtype=jnp.float64):
+    a1_ = jnp.asarray(val.check_a1(a1, m), dtype)
+    P1_ = jnp.asarray(val.check_P1(P1, m), dtype)
+    D_np = val.check_D(D, 1 if p is None else p, n)
+    D_ = jnp.asarray(D_np, dtype) if p is None else \
+        jnp.asarray(D_np.T, dtype)                     # (1|n, p)
+    C_ = jnp.asarray(val.check_C(C, m, n).T, dtype)    # (1|n, m)
     return a1_, P1_, D_, C_
 
 
@@ -114,17 +117,18 @@ def ssm_ulg(y, Z, H, T, R, a1=None, P1=None, D=None, C=None,
             prior_fn: Optional[Callable] = None, theta_names=None,
             dtype=jnp.float64) -> Model:
     """Univariate linear-Gaussian model (`/root/reference/R/models.R:193`)."""
-    y = jnp.asarray(np.asarray(y, np.float64), dtype)
-    a1_arr = np.atleast_1d(np.asarray(a1)) if a1 is not None else None
-    m = (a1_arr.shape[0] if a1_arr is not None
-         else np.asarray(T).reshape(np.asarray(T).shape[0], -1).shape[0])
-    Zj, Hj, Tj, Rj = _norm_uni(Z, H, T, R, m)
-    a1_, P1_, D_, C_ = _defaults(m, a1, P1, D, C, dtype=dtype)
+    y_np = val.check_y(y)
+    n = y_np.shape[0]
+    y = jnp.asarray(y_np, dtype)
+    m, (Zj, Hj, Tj, Rj) = _norm_uni(Z, H, T, R, n)
+    a1_, P1_, D_, C_ = _defaults(m, a1, P1, D, C, n, dtype=dtype)
+    val.check_missingness({"Z": Zj, "H": Hj, "T": Tj, "R": Rj,
+                           "a1": a1_, "P1": P1_, "D": D_, "C": C_})
     spec = LGSpec(y=y, Z=Zj.astype(dtype), H=Hj.astype(dtype),
                   T=Tj.astype(dtype), R=Rj.astype(dtype), a1=a1_, P1=P1_,
                   D=D_, C=C_)
     return _make_model(spec, update_fn, prior_fn, init_theta, "lg",
-                       {"m": m, "n": y.shape[0]}, theta_names)
+                       {"m": m, "n": n}, theta_names)
 
 
 def ssm_ung(y, Z, T, R, distribution, phi=1.0, u=None, a1=None, P1=None,
@@ -133,15 +137,14 @@ def ssm_ung(y, Z, T, R, distribution, phi=1.0, u=None, a1=None, P1=None,
     """Univariate non-Gaussian model (`/root/reference/R/models.R:309`)."""
     dist = _DIST_NAMES[distribution] if isinstance(distribution, str) \
         else int(distribution)
-    y_np = np.asarray(y, np.float64)
+    y_np = val.check_y(y, distribution=distribution
+                       if isinstance(distribution, str) else None)
     n = y_np.shape[0]
-    u_np = np.ones(n) if u is None else np.broadcast_to(
-        np.asarray(u, np.float64), (n,)).copy()
-    a1_arr = np.atleast_1d(np.asarray(a1)) if a1 is not None else None
-    m = (a1_arr.shape[0] if a1_arr is not None
-         else np.asarray(T).reshape(np.asarray(T).shape[0], -1).shape[0])
-    Zj, _, Tj, Rj = _norm_uni(Z, jnp.ones(1), T, R, m)
-    a1_, P1_, D_, C_ = _defaults(m, a1, P1, D, C, dtype=dtype)
+    u_np = np.ones(n) if u is None else val.check_u(u, y_np)
+    m, (Zj, _, Tj, Rj) = _norm_uni(Z, np.ones(1), T, R, n)
+    a1_, P1_, D_, C_ = _defaults(m, a1, P1, D, C, n, dtype=dtype)
+    val.check_missingness({"Z": Zj, "T": Tj, "R": Rj, "a1": a1_,
+                           "P1": P1_, "D": D_, "C": C_, "u": u_np})
     spec = NGSpec(y=jnp.asarray(y_np, dtype), Z=Zj.astype(dtype),
                   T=Tj.astype(dtype), R=Rj.astype(dtype), a1=a1_, P1=P1_,
                   D=D_, C=C_, phi=jnp.asarray(float(phi), dtype),
@@ -155,22 +158,13 @@ def ssm_mlg(y, Z, H, T, R, a1=None, P1=None, D=None, C=None,
             init_theta=(), update_fn=None, prior_fn=None, theta_names=None,
             dtype=jnp.float64) -> Model:
     """Multivariate linear-Gaussian model (`/root/reference/R/models.R:414`)."""
-    y = jnp.asarray(np.asarray(y, np.float64), dtype)
+    y_np = val.check_y(y, multivariate=True)
+    y = jnp.asarray(y_np, dtype)
     n, p = y.shape
-    Z_np = np.asarray(Z)
-    m = Z_np.shape[1]
-    Zj = _tfirst(jnp.asarray(Z_np), 2)
-    H_np = np.asarray(H)
-    if H_np.ndim == 0:
-        H_np = np.eye(p) * float(H_np)
-    Hj = _tfirst(jnp.asarray(H_np.reshape(p, p, -1)
-                             if H_np.ndim == 3 else H_np), 2)
-    Tj = _tfirst(jnp.asarray(T).reshape(m, m) if np.asarray(T).ndim == 2
-                 else jnp.asarray(T), 2)
-    R_np = np.asarray(R)
-    Rj = _tfirst(jnp.asarray(R_np if R_np.ndim >= 2 else
-                             R_np.reshape(m, 1)), 2)
-    a1_, P1_, D_, C_ = _defaults(m, a1, P1, D, C, p=p, dtype=dtype)
+    m, (Zj, Tj, Rj, Hj) = _norm_mv(Z, H, T, R, p, n)
+    a1_, P1_, D_, C_ = _defaults(m, a1, P1, D, C, n, p=p, dtype=dtype)
+    val.check_missingness({"Z": Zj, "H": Hj, "T": Tj, "R": Rj,
+                           "a1": a1_, "P1": P1_, "D": D_, "C": C_})
     spec = MVLGSpec(y=y, Z=Zj.astype(dtype), H=Hj.astype(dtype),
                     T=Tj.astype(dtype), R=Rj.astype(dtype), a1=a1_, P1=P1_,
                     D=D_, C=C_)
@@ -183,25 +177,26 @@ def ssm_mng(y, Z, T, R, distributions, phi=None, u=None, a1=None, P1=None,
             theta_names=None, dtype=jnp.float64) -> Model:
     """Multivariate non-Gaussian model with per-series families
     (`/root/reference/R/models.R:538`)."""
-    y_np = np.asarray(y, np.float64)
+    y_np = val.check_y(y, multivariate=True)
     n, p = y_np.shape
     if isinstance(distributions, (str, int)):
         distributions = [distributions] * p
+    dist_names = [d if isinstance(d, str) else None for d in distributions]
+    if all(isinstance(d, str) for d in distributions):
+        val.check_distribution(y_np, dist_names)
     dists = tuple(_DIST_NAMES[d] if isinstance(d, str) else int(d)
                   for d in distributions)
     u_np = np.ones((n, p)) if u is None else np.broadcast_to(
         np.asarray(u, np.float64), (n, p)).copy()
+    if (u_np <= 0).any() or not np.isfinite(u_np).all():
+        raise ValueError("Argument 'u' must contain only positive finite "
+                         "values.")
     phi_np = np.ones(p) if phi is None else np.broadcast_to(
         np.asarray(phi, np.float64), (p,)).copy()
-    Z_np = np.asarray(Z)
-    m = Z_np.shape[1]
-    Zj = _tfirst(jnp.asarray(Z_np), 2)
-    Tj = _tfirst(jnp.asarray(T).reshape(m, m) if np.asarray(T).ndim == 2
-                 else jnp.asarray(T), 2)
-    R_np = np.asarray(R)
-    Rj = _tfirst(jnp.asarray(R_np if R_np.ndim >= 2 else
-                             R_np.reshape(m, 1)), 2)
-    a1_, P1_, D_, C_ = _defaults(m, a1, P1, D, C, p=p, dtype=dtype)
+    m, (Zj, Tj, Rj) = _norm_mv(Z, None, T, R, p, n, with_H=False)
+    a1_, P1_, D_, C_ = _defaults(m, a1, P1, D, C, n, p=p, dtype=dtype)
+    val.check_missingness({"Z": Zj, "T": Tj, "R": Rj, "a1": a1_,
+                           "P1": P1_, "D": D_, "C": C_, "u": u_np})
     mode0 = np.stack([init_mode(y_np[:, j], u_np[:, j], dists[j])
                       for j in range(p)], axis=1)
     spec = MVNGSpec(y=jnp.asarray(y_np, dtype), Z=Zj.astype(dtype),
