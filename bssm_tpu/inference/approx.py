@@ -44,6 +44,8 @@ class ApproxResult(NamedTuple):
     Htilde: jnp.ndarray     # (n,) pseudo-std-devs
     niter: jnp.ndarray      # iterations used
     diff: jnp.ndarray       # final mean-squared change
+    gloglik: jnp.ndarray | None = None   # KF loglik of the approximating
+    # model at (ytilde, Htilde), fused out of the final smoother pass
 
     def gaussian(self, spec: NGSpec) -> LGSpec:
         return spec.approx_gaussian(self.ytilde, self.Htilde)
@@ -67,28 +69,35 @@ def approximate(spec: NGSpec, conv_tol: float = CONV_TOL,
     conv_tol = max(conv_tol, 50.0 * float(jnp.finfo(spec.y.dtype).eps))
 
     def cond(carry):
-        _, _, _, i, diff = carry
+        _, _, _, i, diff, _ = carry
         return (i < max_iter) & (diff > conv_tol)
 
     if _config.time_parallel:
-        from ..ops.pkalman import fast_smoother_parallel as _fs
+        from ..ops.pkalman import fast_smoother_parallel
+
+        def _fs(g):
+            return fast_smoother_parallel(g), jnp.zeros((), spec.y.dtype)
+        fused_ll = False
     else:
-        _fs = kalman.fast_smoother
+        _fs = kalman.fast_smoother_ll
+        fused_ll = True
 
     def body(carry):
-        mode, _, _, i, _ = carry
+        mode, _, _, i, _, _ = carry
         yt, H = _one_match(spec, mode)
         approx = spec.approx_gaussian(yt, H)
-        alpha = _fs(approx)
+        alpha, gll = _fs(approx)
         new_mode = signal_from_states(spec, alpha[:n])
         diff = jnp.sum(jnp.square(new_mode - mode)) / n
-        return (new_mode, yt, H, i + 1, diff)
+        return (new_mode, yt, H, i + 1, diff, gll)
 
     yt0, H0 = _one_match(spec, mode0)
     init = (mode0, yt0, H0, jnp.zeros((), jnp.int32),
-            jnp.asarray(conv_tol + 1.0, spec.y.dtype))
-    mode, yt, H, niter, diff = jax.lax.while_loop(cond, body, init)
-    return ApproxResult(mode, yt, H, niter, diff)
+            jnp.asarray(conv_tol + 1.0, spec.y.dtype),
+            jnp.zeros((), spec.y.dtype))
+    mode, yt, H, niter, diff, gll = jax.lax.while_loop(cond, body, init)
+    return ApproxResult(mode, yt, H, niter, diff,
+                        gll if fused_ll else None)
 
 
 def approximate_for_is(spec: NGSpec, stored_mode: jnp.ndarray) -> ApproxResult:
@@ -114,12 +123,13 @@ def approx_loglik(spec: NGSpec, approx: ApproxResult | None = None,
     (`/root/reference/src/model_ssm_ung.cpp:164-236`)."""
     if approx is None:
         approx = approximate(spec, conv_tol, max_iter)
-    g = approx.gaussian(spec)
-    if _config.time_parallel:
+    if approx.gloglik is not None:
+        gll = approx.gloglik
+    elif _config.time_parallel:
         from ..ops.pkalman import log_likelihood_parallel
-        gll = log_likelihood_parallel(g)
+        gll = log_likelihood_parallel(approx.gaussian(spec))
     else:
-        gll = kalman.log_likelihood(g)
+        gll = kalman.log_likelihood(approx.gaussian(spec))
     sc = fam.scales(spec.distribution, spec.y, spec.u, spec.phi,
                     approx.mode, approx.ytilde, approx.Htilde)
     sc = jnp.where(spec.obs_mask, sc, 0.0)

@@ -51,6 +51,7 @@ class MVApproxResult(NamedTuple):
     ytilde: jnp.ndarray    # (n, p)
     Htilde: jnp.ndarray    # (n, p)
     niter: jnp.ndarray
+    gloglik: jnp.ndarray | None = None   # fused KF loglik (see kalman.py)
 
     def gaussian(self, spec: MVNGSpec) -> MVLGSpec:
         return spec.approx_gaussian(self.ytilde, self.Htilde)
@@ -66,23 +67,24 @@ def approximate_mv(spec: MVNGSpec, conv_tol=CONV_TOL,
     conv_tol = max(conv_tol, 50.0 * float(jnp.finfo(spec.y.dtype).eps))
 
     def cond(c):
-        _, _, _, i, diff = c
+        _, _, _, i, diff, _ = c
         return (i < max_iter) & (diff > conv_tol)
 
     def body(c):
-        mode, _, _, i, _ = c
+        mode, _, _, i, _, _ = c
         yt, H = _match_mv(spec, mode)
         g = spec.approx_gaussian(yt, H)
-        alpha = kalman_mv.fast_smoother_mv(g)
+        alpha, gll = kalman_mv.fast_smoother_mv_ll(g)
         new_mode = signal_mv(spec, alpha[:n])
         diff = jnp.sum(jnp.square(new_mode - mode)) / n
-        return (new_mode, yt, H, i + 1, diff)
+        return (new_mode, yt, H, i + 1, diff, gll)
 
     yt0, H0 = _match_mv(spec, mode0)
     init = (mode0, yt0, H0, jnp.zeros((), jnp.int32),
-            jnp.asarray(conv_tol + 1.0, spec.y.dtype))
-    mode, yt, H, niter, _ = jax.lax.while_loop(cond, body, init)
-    return MVApproxResult(mode, yt, H, niter)
+            jnp.asarray(conv_tol + 1.0, spec.y.dtype),
+            jnp.zeros((), spec.y.dtype))
+    mode, yt, H, niter, _, gll = jax.lax.while_loop(cond, body, init)
+    return MVApproxResult(mode, yt, H, niter, gll)
 
 
 class MVApproxLoglik(NamedTuple):
@@ -105,8 +107,10 @@ def approx_loglik_mv(spec: MVNGSpec, approx=None, conv_tol=CONV_TOL,
                      max_iter=MAX_ITER) -> MVApproxLoglik:
     if approx is None:
         approx = approximate_mv(spec, conv_tol, max_iter)
-    g = approx.gaussian(spec)
-    gll = kalman_mv.log_likelihood_mv(g)
+    if approx.gloglik is not None:
+        gll = approx.gloglik
+    else:
+        gll = kalman_mv.log_likelihood_mv(approx.gaussian(spec))
     sc = _series_scales(spec, approx.mode, approx.ytilde, approx.Htilde)
     ct = jnp.zeros((), spec.y.dtype)
     for j, d in enumerate(spec.distributions):

@@ -313,12 +313,36 @@ class _FamilyOps(NamedTuple):
     mode0: Any
 
 
-def _family_ops(model: Model, conv_tol, max_iter) -> _FamilyOps:
+def _family_ops(model: Model, conv_tol, max_iter,
+                local_approx: bool = True) -> _FamilyOps:
     if model.kind == "ng":
-        def approx_eval(spec, key):
-            al = approx_mod.approx_loglik(spec, conv_tol=conv_tol,
-                                          max_iter=max_iter)
-            return al.loglik, al.approx.mode
+        if local_approx:
+            def approx_eval(spec, key):
+                al = approx_mod.approx_loglik(spec, conv_tol=conv_tol,
+                                              max_iter=max_iter)
+                return al.loglik, al.approx.mode
+        else:
+            # global approximation: (ytilde, Htilde) fixed at the initial
+            # theta; per proposal only one fast-smoother pass recomputes the
+            # mode (`/root/reference/src/model_ssm_ung.cpp:104-113`)
+            ap0 = approx_mod.approximate(model.build(model.theta_init),
+                                         conv_tol, max_iter)
+            yt0 = jax.lax.stop_gradient(ap0.ytilde)
+            H0 = jax.lax.stop_gradient(ap0.Htilde)
+
+            def approx_eval(spec, key):
+                from ..ops import kalman
+                g = spec.approx_gaussian(yt0, H0)
+                alpha = kalman.fast_smoother(g)
+                mode = approx_mod.signal_from_states(spec, alpha[:spec.n])
+                sc = jnp.where(spec.obs_mask,
+                               approx_mod.fam.scales(
+                                   spec.distribution, spec.y, spec.u,
+                                   spec.phi, mode, yt0, H0), 0.0)
+                ct = approx_mod.fam.const_term(
+                    spec.distribution, spec.y, spec.u, spec.phi, yt0, H0)
+                ll = kalman.log_likelihood(g) + ct + jnp.sum(sc)
+                return ll, mode
 
         def _al_from_mode(spec, mode):
             ar = approx_mod.approximate_for_is(spec, mode)
@@ -376,10 +400,30 @@ def _family_ops(model: Model, conv_tol, max_iter) -> _FamilyOps:
     if model.kind == "mng":
         from . import approx_mv as mv_mod
 
-        def approx_eval(spec, key):
-            al = mv_mod.approx_loglik_mv(spec, conv_tol=conv_tol,
-                                         max_iter=max_iter)
-            return al.loglik, al.approx.mode
+        if local_approx:
+            def approx_eval(spec, key):
+                al = mv_mod.approx_loglik_mv(spec, conv_tol=conv_tol,
+                                             max_iter=max_iter)
+                return al.loglik, al.approx.mode
+        else:
+            ap0 = mv_mod.approximate_mv(model.build(model.theta_init),
+                                        conv_tol, max_iter)
+            yt0 = jax.lax.stop_gradient(ap0.ytilde)
+            H0 = jax.lax.stop_gradient(ap0.Htilde)
+
+            def approx_eval(spec, key):
+                from ..ops import kalman_mv
+                g = spec.approx_gaussian(yt0, H0)
+                alpha = kalman_mv.fast_smoother_mv(g)
+                mode = mv_mod.signal_mv(spec, alpha[:spec.n])
+                sc = mv_mod._series_scales(spec, mode, yt0, H0)
+                ct = jnp.zeros((), spec.y.dtype)
+                for j, d in enumerate(spec.distributions):
+                    ct = ct + mv_mod.fam.const_term(
+                        d, spec.y[:, j], spec.u[:, j], spec.phi[j],
+                        yt0[:, j], H0[:, j])
+                ll = kalman_mv.log_likelihood_mv(g) + ct + jnp.sum(sc)
+                return ll, mode
 
         def psi(spec, mode, nsim, key):
             al = mv_mod.approximate_for_is_mv(spec, mode)
@@ -433,8 +477,8 @@ _SDE_COARSE_NSIM = [32]
 # --------------------------------------------------------------------------
 
 def _approx_chain(model: Model, n_iter, burnin, thin, target, gamma,
-                  end_ram, conv_tol, max_iter):
-    ops = _family_ops(model, conv_tol, max_iter)
+                  end_ram, conv_tol, max_iter, local_approx=True):
+    ops = _family_ops(model, conv_tol, max_iter, local_approx)
 
     def logdens(theta, key, aux):
         spec = model.build(theta)
@@ -596,10 +640,10 @@ def _is_correction_flat(model: Model, thetas, modes, key, nsim,
 # --------------------------------------------------------------------------
 
 def _pf_loglik(model: Model, theta, key, nsim, sampling_method, conv_tol,
-               max_iter):
+               max_iter, local_approx=True):
     """(exact_ll, approx_ll, sampled trajectory) for one theta
     (`/root/reference/src/model_ssm_ung.cpp:164-236`)."""
-    ops = _family_ops(model, conv_tol, max_iter)
+    ops = _family_ops(model, conv_tol, max_iter, local_approx)
     spec = model.build(theta)
     k_pf, k_draw = jax.random.split(key)
     if sampling_method == "bsf":
@@ -620,7 +664,8 @@ def _pf_loglik(model: Model, theta, key, nsim, sampling_method, conv_tol,
 
 
 def _pm_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
-              nsim, sampling_method, conv_tol, max_iter, output_type):
+              nsim, sampling_method, conv_tol, max_iter, output_type,
+              local_approx=True):
     spec0 = model.build(model.theta_init)
     m = spec0.m
     n = spec0.n
@@ -628,7 +673,8 @@ def _pm_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
 
     def logdens(theta, key, aux):
         ll, all_, alpha = _pf_loglik(model, theta, key, nsim,
-                                     sampling_method, conv_tol, max_iter)
+                                     sampling_method, conv_tol, max_iter,
+                                     local_approx)
         aux_new = alpha.reshape(-1) if store_alpha else ()
         return ll, all_, aux_new
 
@@ -650,7 +696,8 @@ def _pm_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
 
 
 def _da_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
-              nsim, sampling_method, conv_tol, max_iter, output_type):
+              nsim, sampling_method, conv_tol, max_iter, output_type,
+              local_approx=True):
     """Delayed acceptance: stage 1 on the approximate posterior, stage 2
     corrects with the PF estimate (`/root/reference/src/mcmc.cpp:530-685`)."""
     spec0 = model.build(model.theta_init)
@@ -658,11 +705,11 @@ def _da_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
     dt = spec0.y.dtype
     store_alpha = output_type == "full"
     d = model.theta_init.shape[0]
-    ops = _family_ops(model, conv_tol, max_iter)
+    ops = _family_ops(model, conv_tol, max_iter, local_approx)
 
     def full_eval(theta, key):
         return _pf_loglik(model, theta, key, nsim, sampling_method,
-                          conv_tol, max_iter)
+                          conv_tol, max_iter, local_approx)
 
     def chain(key, theta0, S0):
         key, k0 = jax.random.split(key)
@@ -741,12 +788,16 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
              output_type: str = "full", n_chains: int = 1,
              seed: int = 1, conv_tol: float = 1e-8, max_iter: int = 100,
              theta_init: Optional[jnp.ndarray] = None,
-             mesh=None, corr_batch: Optional[int] = None) -> McmcOutput:
+             mesh=None, corr_batch: Optional[int] = None,
+             local_approx: bool = True) -> McmcOutput:
     """Bayesian inference via adaptive MCMC (`/root/reference/R/run_mcmc.R`).
 
     mcmc_type: lg models -> "gaussian"; ng models: "is2" (default), "is1",
     "is3", "approx", "pm", "da".  sampling_method: "psi" (default), "bsf",
-    "spdk".
+    "spdk".  local_approx=False freezes the Gaussian approximation's
+    pseudo-observations at the initial theta (one smoother pass per
+    proposal instead of the full Laplace iteration,
+    `/root/reference/R/run_mcmc.R:75,434-436`).
     """
     import time as _time
     t0 = _time.time()
@@ -790,7 +841,7 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
         chain = _gaussian_chain(model, output_type=output_type, **common)
     elif mcmc_type in ("approx", "is1", "is2", "is3"):
         chain = _approx_chain(model, conv_tol=conv_tol, max_iter=max_iter,
-                              **common)
+                              local_approx=local_approx, **common)
     elif mcmc_type == "ekf":
         if model.kind != "nlg":
             raise ValueError("mcmc_type='ekf' requires a nonlinear model")
@@ -799,12 +850,14 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
         chain = _pm_chain(model, nsim=particles,
                           sampling_method=sampling_method,
                           conv_tol=conv_tol, max_iter=max_iter,
-                          output_type=output_type, **common)
+                          output_type=output_type,
+                          local_approx=local_approx, **common)
     elif mcmc_type == "da":
         chain = _da_chain(model, nsim=particles,
                           sampling_method=sampling_method,
                           conv_tol=conv_tol, max_iter=max_iter,
-                          output_type=output_type, **common)
+                          output_type=output_type,
+                          local_approx=local_approx, **common)
     else:
         raise ValueError(f"unknown mcmc_type {mcmc_type}")
 

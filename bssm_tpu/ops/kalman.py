@@ -135,9 +135,7 @@ def fast_smoother(spec: LGSpec, stats: SmootherStats | None = None) -> jnp.ndarr
     y-independent gains (Ft, Kt, ok) are reused and only the O(n m) mean
     recursions are re-run against ``spec.y``.
     """
-    n, m = spec.n, spec.m
-    dt = spec.y.dtype
-    yb, obsb, Zb, _, Tb, RRb, Db, Cb = _step_arrays(spec)
+    yb, obsb, Zb, _, Tb, _, Db, Cb = _step_arrays(spec)
     if stats is None:
         stats = forward_stats(spec)
     else:
@@ -153,6 +151,28 @@ def fast_smoother(spec: LGSpec, stats: SmootherStats | None = None) -> jnp.ndarr
             fwd_mean, spec.a1,
             (yb, obsb, Zb, Tb, Db, Cb, stats.Ft, stats.Kt))
         stats = stats._replace(vt=vt, ok=obsb & (stats.Ft > ZERO_TOL))
+    return _mean_passes(spec, stats)
+
+
+def fast_smoother_ll(spec: LGSpec) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(smoothed means, filter log-likelihood) from ONE shared forward pass —
+    the Laplace-iteration hot path runs the smoother anyway, so the Gaussian
+    log-likelihood of the approximating model comes for free instead of
+    costing a second O(n) scan (`/root/reference/src/model_ssm_ung.cpp:185`
+    runs them separately)."""
+    r = kfilter(spec)
+    ok = spec.obs_mask & (r.Ft > ZERO_TOL)
+    stats = SmootherStats(r.vt, r.Ft, r.Kt, ok, r.at, r.Pt)
+    degenerate = (jnp.sum(spec.HH) + jnp.sum(jnp.abs(spec.R))) < ZERO_TOL
+    ll = jnp.where(degenerate, -jnp.inf, r.logLik)
+    return _mean_passes(spec, stats), ll
+
+
+def _mean_passes(spec: LGSpec, stats: SmootherStats) -> jnp.ndarray:
+    """Backward r-recursion + forward mean pass of the fast smoother."""
+    m = spec.m
+    dt = spec.y.dtype
+    _, _, Zb, _, Tb, RRb, _, Cb = _step_arrays(spec)
 
     def back(r, xs):
         v, F, K, ok, Z, T = xs

@@ -182,6 +182,21 @@ def fast_smoother_mv(spec: MVLGSpec, flt: MVFilterResult | None = None
 
         _, vt = jax.lax.scan(fwd, spec.a1,
                              (yb, maskb, Zb, Db, Cb, Tb, flt.Kt))
+    return _mv_mean_passes(spec, flt, vt)
+
+
+def fast_smoother_mv_ll(spec: MVLGSpec) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(smoothed means, filter log-likelihood) sharing one forward pass —
+    see `kalman.fast_smoother_ll`."""
+    flt = kfilter_mv(spec)
+    return _mv_mean_passes(spec, flt, flt.vt), flt.logLik
+
+
+def _mv_mean_passes(spec: MVLGSpec, flt: MVFilterResult, vt: jnp.ndarray
+                    ) -> jnp.ndarray:
+    m = spec.m
+    dt = spec.y.dtype
+    _, maskb, _, _, Tb, RRb, _, Cb = _step_arrays(spec)
 
     def back(rt, xs):
         v, cholF, K, Zm, T, mask = xs

@@ -108,3 +108,29 @@ def test_is2_matches_is3_statistically(rng):
         return np.average(o.flat_theta(), axis=0, weights=o.flat_weights())
 
     np.testing.assert_allclose(wmean(o2), wmean(o3), atol=0.1)
+
+
+def test_local_approx_false_global_approximation(rng):
+    """local_approx=False freezes (ytilde, Htilde) at the initial theta
+    (`/root/reference/src/model_ssm_ung.cpp:104-113`); the resulting IS
+    posterior must agree with the default local approximation within MC
+    error because the psi-APF correction is exact for both."""
+    n = 50
+    alpha = np.zeros(n)
+    for t in range(1, n):
+        alpha[t] = 0.75 * alpha[t - 1] + 0.35 * rng.normal()
+    y = rng.poisson(np.exp(alpha)).astype(float)
+    model = ar1_ng(y, rho=uniform_prior(0.6, -0.99, 0.99),
+                   sigma=halfnormal_prior(0.4, 1.0),
+                   distribution="poisson")
+    o_loc = run_mcmc(model, iter=2500, particles=10, mcmc_type="is2",
+                     seed=11, output_type="theta", local_approx=True)
+    o_glob = run_mcmc(model, iter=2500, particles=10, mcmc_type="is2",
+                      seed=12, output_type="theta", local_approx=False)
+
+    def wmean(o):
+        return np.average(o.flat_theta(), axis=0, weights=o.flat_weights())
+
+    assert np.all(np.isfinite(o_glob.posterior))
+    assert np.all(o_glob.flat_weights() > 0)
+    np.testing.assert_allclose(wmean(o_loc), wmean(o_glob), atol=0.12)
