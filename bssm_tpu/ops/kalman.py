@@ -159,13 +159,33 @@ def fast_smoother_ll(spec: LGSpec) -> tuple[jnp.ndarray, jnp.ndarray]:
     the Laplace-iteration hot path runs the smoother anyway, so the Gaussian
     log-likelihood of the approximating model comes for free instead of
     costing a second O(n) scan (`/root/reference/src/model_ssm_ung.cpp:185`
-    runs them separately)."""
+    runs them separately).
+
+    Means come from the moment identity alphahat_t = a_t + P_t r_{t-1}
+    (Durbin-Koopman eq. 4.44): since the filter pass already stores (at, Pt),
+    the forward mean recursion of the classic fast smoother collapses to one
+    batched einsum — 2 sequential scans instead of 3."""
     r = kfilter(spec)
     ok = spec.obs_mask & (r.Ft > ZERO_TOL)
-    stats = SmootherStats(r.vt, r.Ft, r.Kt, ok, r.at, r.Pt)
+    m = spec.m
+    dt = spec.y.dtype
+    _, _, Zb, _, Tb, _, _, _ = _step_arrays(spec)
+
+    def back(rc, xs):
+        v, F, K, okt, Z, T = xs
+        okf = okt.astype(dt)
+        L = T @ (jnp.eye(m, dtype=dt) - jnp.outer(K, Z))
+        r_new = okf * (Z * (v / F) + L.T @ rc) + (1 - okf) * (T.T @ rc)
+        return r_new, r_new
+
+    # ys[t] = carry AFTER processing t in reverse = r_{t-1}
+    _, rprev = jax.lax.scan(back, jnp.zeros((m,), dt),
+                            (r.vt, r.Ft, r.Kt, ok, Zb, Tb), reverse=True)
+    alphas = r.at[:-1] + jnp.einsum('tij,tj->ti', r.Pt[:-1], rprev)
+    alpha = jnp.concatenate([alphas, r.at[-1][None]], axis=0)
     degenerate = (jnp.sum(spec.HH) + jnp.sum(jnp.abs(spec.R))) < ZERO_TOL
     ll = jnp.where(degenerate, -jnp.inf, r.logLik)
-    return _mean_passes(spec, stats), ll
+    return alpha, ll
 
 
 def _mean_passes(spec: LGSpec, stats: SmootherStats) -> jnp.ndarray:
