@@ -59,13 +59,53 @@ def masked_tri_solve(L: jnp.ndarray, b: jnp.ndarray, active: jnp.ndarray,
     return x * am[:, None]
 
 
+def _eigh2x2(Vs: jnp.ndarray):
+    """Closed-form eigendecomposition of a symmetric 2x2 matrix.
+
+    The XLA `eigh` lowers to an iterative Jacobi sweep — far too heavy for
+    the psi-APF hot path, which factorises one tiny covariance per
+    (correction, time-step).  For m=2 the spectrum is analytic:
+    lambda = mean(tr) +- sqrt(((a-c)/2)^2 + b^2).  Returns (w, U) with
+    columns of U the orthonormal eigenvectors, ascending eigenvalues,
+    matching `jnp.linalg.eigh`'s convention."""
+    a, b, c = Vs[0, 0], Vs[0, 1], Vs[1, 1]
+    half_tr = 0.5 * (a + c)
+    half_diff = 0.5 * (a - c)
+    r = jnp.sqrt(half_diff * half_diff + b * b)
+    w = jnp.stack([half_tr - r, half_tr + r])
+    # eigenvector for the larger eigenvalue: (b, r - half_diff) or
+    # (r + half_diff, b); pick the better-conditioned form branch-free
+    use_first = jnp.abs(r - half_diff) > jnp.abs(r + half_diff)
+    v1 = jnp.where(use_first, b, r + half_diff)
+    v2 = jnp.where(use_first, r - half_diff, b)
+    nrm = jnp.sqrt(v1 * v1 + v2 * v2)
+    ok = nrm > 0
+    nrm = jnp.where(ok, nrm, 1.0)
+    v1 = jnp.where(ok, v1 / nrm, 1.0)
+    v2 = jnp.where(ok, v2 / nrm, 0.0)
+    # eigenvector of the smaller eigenvalue is the orthogonal complement
+    U = jnp.stack([jnp.stack([-v2, v1]), jnp.stack([v1, v2])], axis=1)
+    return w, U
+
+
+def _sym_eigh(Vs: jnp.ndarray):
+    """eigh with a closed-form fast path for the m<=2 shapes that dominate
+    every reference benchmark config (BASELINE.md: bsm m=2, ar1/svm m=1)."""
+    m = Vs.shape[-1]
+    if m == 1:
+        return Vs[..., 0], jnp.ones_like(Vs)
+    if m == 2:
+        return _eigh2x2(Vs)
+    return jnp.linalg.eigh(Vs)
+
+
 def _psd_factor(V: jnp.ndarray) -> jnp.ndarray:
     """Symmetric square-root factor of a (numerically) PSD matrix via eigh
     with eigenvalue clipping — the reference's SVD branch
     (`/root/reference/src/conditional_dist.cpp:8-31`), robust at f32 where
     Cholesky fails on cancellation-indefinite smoother covariances."""
     Vs = 0.5 * (V + V.T)
-    w, U = jnp.linalg.eigh(Vs)
+    w, U = _sym_eigh(Vs)
     w = jnp.clip(w, 0.0, None)
     return U * jnp.sqrt(w)[None, :]
 
@@ -74,7 +114,7 @@ def _psd_pinv(V: jnp.ndarray) -> jnp.ndarray:
     """Moore-Penrose pseudo-inverse of a PSD matrix (eigh, clipped)."""
     m = V.shape[-1]
     Vs = 0.5 * (V + V.T)
-    w, U = jnp.linalg.eigh(Vs)
+    w, U = _sym_eigh(Vs)
     tol = jnp.finfo(V.dtype).eps * m * jnp.maximum(jnp.max(w), 0.0)
     winv = jnp.where(w > tol, 1.0 / jnp.where(w > tol, w, 1.0), 0.0)
     return (U * winv[None, :]) @ U.T

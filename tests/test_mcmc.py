@@ -110,6 +110,28 @@ def test_is2_matches_is3_statistically(rng):
     np.testing.assert_allclose(wmean(o2), wmean(o3), atol=0.1)
 
 
+def test_is2_weights_constant_within_jump_chain(rng):
+    """is2 corrects each jump-chain head once and shares the weight across
+    duplicates (`/root/reference/src/approx_mcmc.cpp:364-368`): within a
+    segment of rejected proposals the IS weight must be exactly constant."""
+    n = 40
+    y = rng.poisson(np.exp(np.cumsum(rng.normal(0, 0.2, n)))).astype(float)
+    model = bsm_ng(y, sd_level=halfnormal_prior(0.2, 1.0),
+                   distribution="poisson")
+    out = run_mcmc(model, iter=800, particles=10, mcmc_type="is2", seed=4,
+                   output_type="full", n_chains=2)
+    for c in range(2):
+        acc = out.accepted[c].astype(bool).copy()
+        acc[0] = True
+        seg = np.cumsum(acc)
+        w = out.weights[c]
+        a = out.alpha[c]
+        for s in np.unique(seg):
+            sel = seg == s
+            assert np.all(w[sel] == w[sel][0])
+            assert np.all(a[sel] == a[sel][0])
+
+
 def test_local_approx_false_global_approximation(rng):
     """local_approx=False freezes (ytilde, Htilde) at the initial theta
     (`/root/reference/src/model_ssm_ung.cpp:104-113`); the resulting IS
