@@ -79,7 +79,8 @@ def approximate(spec: NGSpec, conv_tol: float = CONV_TOL,
             return fast_smoother_parallel(g), jnp.zeros((), spec.y.dtype)
         fused_ll = False
     else:
-        _fs = kalman.fast_smoother_ll
+        from ..ops.pallas_kalman import fast_smoother_ll_auto
+        _fs = fast_smoother_ll_auto
         fused_ll = True
 
     def body(carry):

@@ -65,6 +65,9 @@ def _ram_scan(logdens: Callable, log_prior: Callable, theta0, S0, key,
 
     key, k0 = jax.random.split(key)
     ll_a0, ll_r0, aux_init = logdens(theta0, k0, aux0)
+    # loglik dtype may differ from theta dtype (f32 model under x64);
+    # normalise so the lax.cond branches below have equal output types
+    ll_a0, ll_r0 = jnp.asarray(ll_a0, dt), jnp.asarray(ll_r0, dt)
     lp0 = log_prior(theta0)
 
     def body(carry: ChainState, i):
@@ -75,7 +78,8 @@ def _ram_scan(logdens: Callable, log_prior: Callable, theta0, S0, key,
         ok = lp_prop > _NEG_INF
 
         def eval_prop(_):
-            return logdens(prop, k_den, carry.aux)
+            a, r, aux = logdens(prop, k_den, carry.aux)
+            return jnp.asarray(a, dt), jnp.asarray(r, dt), aux
 
         def skip(_):
             return (jnp.asarray(_NEG_INF, dt), jnp.asarray(_NEG_INF, dt),
@@ -714,6 +718,7 @@ def _da_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
     def chain(key, theta0, S0):
         key, k0 = jax.random.split(key)
         ll0, all0, alpha0 = full_eval(theta0, k0)
+        ll0, all0 = jnp.asarray(ll0, dt), jnp.asarray(all0, dt)
         alpha0 = alpha0.reshape(-1)
         lp0 = model.log_prior(theta0)
 
@@ -728,7 +733,7 @@ def _da_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
             def stage1(k):
                 spec = model.build(prop)
                 ll_a, _ = ops.approx_eval(spec, k)
-                return ll_a
+                return jnp.asarray(ll_a, dt)
 
             key, k_s1 = jax.random.split(key)
             ll_approx_prop = jax.lax.cond(
@@ -740,6 +745,7 @@ def _da_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
 
             def stage2(_):
                 ll_prop, _, alpha_prop = full_eval(prop, k_den)
+                ll_prop = jnp.asarray(ll_prop, dt)
                 log_alpha = ll_prop + ll_approx - ll - ll_approx_prop
                 acc2 = jnp.log(jax.random.uniform(k_a2, (), dt)) < log_alpha
                 return acc2, ll_prop, alpha_prop.reshape(-1)

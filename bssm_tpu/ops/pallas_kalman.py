@@ -1,0 +1,343 @@
+"""Fused Pallas TPU kernel: Kalman filter + fast smoother + log-likelihood.
+
+The Laplace-iteration hot loop (`inference/approx.py`) runs a full Kalman
+forward pass and a backward mean pass per iteration, per MCMC step, per
+chain.  As an XLA `lax.scan` each of the ~2n tiny recursion steps costs a
+loop-iteration dispatch on (chains, m)-sized data — latency-bound, the MXU
+and VPU idle.  This kernel re-designs the recursion TPU-first
+("chains-in-lanes"):
+
+- the *chains* axis maps onto the 128 VPU lanes, so every recursion step is
+  a handful of fully-vectorised (1, 128) ops;
+- the state dimension m (<= 4 in every reference benchmark config:
+  `/root/reference/src/model_bsm_lg.cpp`, bsm level+slope m=2) is unrolled
+  at trace time into scalar-per-chain register lists — no tiny matmuls, no
+  sublane padding waste;
+- both the forward filter and the backward smoothing pass run inside ONE
+  kernel invocation, with the per-time stats (v, F, K, a, P) staged in VMEM
+  scratch (~1.5 MB at n=153, m=2) — zero HBM round-trips between passes;
+- missing observations follow the branch-free mask discipline of
+  `ops/kalman.py` (NaN in y => no update), bit-identical semantics.
+
+Numerics match `ops/kalman.fast_smoother_ll` (same Joseph-form update, same
+ZERO_TOL guards); parity is asserted in tests/test_pallas.py on CPU via
+interpret mode.
+
+Reference parity: `/root/reference/src/model_ssm_ulg.cpp:106-138` (filter),
+`252-305` (fast smoother); the fusion itself is the TPU re-design.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .kalman import LOG2PI, ZERO_TOL
+
+LANES = 128
+_MAX_M = 4
+# VMEM budget guard: scratch rows ~ n * (2 + 3m + mm) * LANES * 4B
+_VMEM_LIMIT_BYTES = 10 * 1024 * 1024
+
+
+def _supported(n: int, m: int) -> bool:
+    rows = n * (2 + 3 * m + m * m) + 2 * (n + 1) * m
+    return m <= _MAX_M and rows * LANES * 4 < _VMEM_LIMIT_BYTES
+
+
+def _kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
+            a1_ref, p1_ref, c_ref, alpha_ref, ll_ref,
+            v_s, f_s, ok_s, k_s, at_s, pt_s):
+    """One lane-block of chains.  All refs are 2D (rows, LANES) in VMEM.
+
+    Row layouts: y/h2/d (n, L); z/c/a1 (m, L); t/rr/p1 (m*m, L) with row
+    i*m+j = element (i, j); outputs alpha ((n+1)*m, L), ll (1, L); scratch
+    v/f/ok (n, L), k (n*m, L), at ((n+1)*m, L), pt ((n+1)*m*m, L).
+    """
+    dt = y_ref.dtype
+    mm = m * m
+
+    def row(ref, i):
+        return ref[i, :]
+
+    Z = [row(z_ref, i) for i in range(m)]
+    T = [[row(t_ref, i * m + j) for j in range(m)] for i in range(m)]
+    RR = [[row(rr_ref, i * m + j) for j in range(m)] for i in range(m)]
+    Cv = [row(c_ref, i) for i in range(m)]
+
+    a0 = [row(a1_ref, i) for i in range(m)]
+    P0 = [row(p1_ref, i) for i in range(mm)]
+    ll0 = jnp.zeros_like(a0[0])
+
+    def fwd(t, carry):
+        a, P, ll = carry
+        y = y_ref[t, :]
+        h2 = h2_ref[t, :]
+        d = d_ref[t, :]
+        # sanitize NaN pseudo-variances at missing y (see ops/kalman._update)
+        h2 = jnp.where(jnp.isfinite(h2), h2, 1.0)
+        # F = Z' P Z + h2
+        F = h2
+        for i in range(m):
+            for j in range(m):
+                F = F + Z[i] * P[i * m + j] * Z[j]
+        ok = jnp.isfinite(y) & (F > ZERO_TOL)
+        okf = ok.astype(dt)
+        Fs = jnp.where(ok, F, 1.0)
+        za = jnp.zeros_like(F)
+        for i in range(m):
+            za = za + Z[i] * a[i]
+        v = jnp.where(ok, y - d - za, 0.0)
+        # K = P Z / F
+        K = []
+        for i in range(m):
+            pz = jnp.zeros_like(F)
+            for j in range(m):
+                pz = pz + P[i * m + j] * Z[j]
+            K.append(jnp.where(ok, pz / Fs, 0.0))
+        att = [a[i] + K[i] * v for i in range(m)]
+        a_next = [Cv[i] for i in range(m)]
+        for i in range(m):
+            for j in range(m):
+                a_next[i] = a_next[i] + T[i][j] * att[j]
+        # Joseph-form update: P_upd = (I-KZ') P (I-KZ')' + h2 K K'
+        # B = (I - K Z'); B_ij = delta_ij - K_i Z_j
+        BP = [jnp.zeros_like(F) for _ in range(mm)]   # B @ P
+        for i in range(m):
+            for j in range(m):
+                s = P[i * m + j]
+                for l in range(m):
+                    s = s - K[i] * Z[l] * P[l * m + j]
+                BP[i * m + j] = s
+        Pu = [jnp.zeros_like(F) for _ in range(mm)]   # BP @ B' + h2 KK'
+        for i in range(m):
+            for j in range(m):
+                s = BP[i * m + j]
+                for l in range(m):
+                    s = s - BP[i * m + l] * K[j] * Z[l]
+                Pu[i * m + j] = s + h2 * K[i] * K[j]
+        Ptt = [okf * Pu[ij] + (1.0 - okf) * P[ij] for ij in range(mm)]
+        # symmetrise
+        Ptt = [0.5 * (Ptt[i * m + j] + Ptt[j * m + i])
+               for i in range(m) for j in range(m)]
+        # P_next = T Ptt T' + RR
+        TP = [jnp.zeros_like(F) for _ in range(mm)]
+        for i in range(m):
+            for j in range(m):
+                s = jnp.zeros_like(F)
+                for l in range(m):
+                    s = s + T[i][l] * Ptt[l * m + j]
+                TP[i * m + j] = s
+        P_next = [jnp.zeros_like(F) for _ in range(mm)]
+        for i in range(m):
+            for j in range(m):
+                s = RR[i][j]
+                for l in range(m):
+                    s = s + TP[i * m + l] * T[j][l]
+                P_next[i * m + j] = s
+        P_next = [0.5 * (P_next[i * m + j] + P_next[j * m + i])
+                  for i in range(m) for j in range(m)]
+        ll = ll + okf * (-0.5 * (LOG2PI + jnp.log(Fs) + v * v / Fs))
+        # stage stats for the backward pass
+        v_s[t, :] = v
+        f_s[t, :] = Fs
+        ok_s[t, :] = okf
+        for i in range(m):
+            k_s[t * m + i, :] = K[i]
+            at_s[t * m + i, :] = a[i]
+        for ij in range(mm):
+            pt_s[t * mm + ij, :] = P[ij]
+        return a_next, P_next, ll
+
+    a_n, P_n, ll = jax.lax.fori_loop(0, n, fwd, (a0, P0, ll0))
+    ll_ref[0, :] = ll
+    for i in range(m):
+        at_s[n * m + i, :] = a_n[i]
+        alpha_ref[n * m + i, :] = a_n[i]
+    for ij in range(mm):
+        pt_s[n * mm + ij, :] = P_n[ij]
+
+    # backward mean pass: r_{t-1} = ok (Z v/F + L' r_t) + (1-ok) T' r_t,
+    # L = T (I - K Z');  alphahat_t = a_t + P_t r_{t-1}   (DK eq. 4.44)
+    r0 = [jnp.zeros_like(ll) for _ in range(m)]
+
+    def bwd(i, r):
+        t = n - 1 - i
+        v = v_s[t, :]
+        F = f_s[t, :]
+        okf = ok_s[t, :]
+        K = [k_s[t * m + i2, :] for i2 in range(m)]
+        # TK_i = (T K)_i ;  L_ij = T_ij - TK_i Z_j ; need L' r = sum_i L_ij r_i
+        TK = []
+        for i2 in range(m):
+            s = jnp.zeros_like(F)
+            for l in range(m):
+                s = s + T[i2][l] * K[l]
+            TK.append(s)
+        Ttr = []        # (T' r)_j
+        Ltr = []        # (L' r)_j
+        for j in range(m):
+            st = jnp.zeros_like(F)
+            sl = jnp.zeros_like(F)
+            for i2 in range(m):
+                st = st + T[i2][j] * r[i2]
+                sl = sl + (T[i2][j] - TK[i2] * Z[j]) * r[i2]
+            Ttr.append(st)
+            Ltr.append(sl)
+        r_new = [okf * (Z[j] * (v / F) + Ltr[j]) + (1.0 - okf) * Ttr[j]
+                 for j in range(m)]
+        for i2 in range(m):
+            s = at_s[t * m + i2, :]
+            for j in range(m):
+                s = s + pt_s[t * mm + i2 * m + j, :] * r_new[j]
+            alpha_ref[t * m + i2, :] = s
+        return r_new
+
+    jax.lax.fori_loop(0, n, bwd, r0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "interpret"))
+def _fused_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, interpret=False):
+    """y/h2/d: (C, n); z/c/a1: (C, m); t/rr/p1: (C, m, m).  C % LANES == 0.
+    Returns alpha (C, n+1, m), ll (C,)."""
+    Cn = y.shape[0]
+    dt = y.dtype
+    mm = m * m
+
+    def lanes_last(x, rows):
+        # (C, rows) -> (rows, C) contiguous for lane-blocked kernel input
+        return jnp.swapaxes(x.reshape(Cn, rows), 0, 1)
+
+    args = (lanes_last(y, n), lanes_last(h2, n), lanes_last(d, n),
+            lanes_last(z, m), lanes_last(t, mm), lanes_last(rr, mm),
+            lanes_last(a1, m), lanes_last(p1, mm), lanes_last(c, m))
+
+    grid = (Cn // LANES,)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [spec(n), spec(n), spec(n), spec(m), spec(mm), spec(mm),
+                spec(m), spec(mm), spec(m)]
+    out_specs = (spec((n + 1) * m), spec(1))
+    out_shape = (jax.ShapeDtypeStruct(((n + 1) * m, Cn), dt),
+                 jax.ShapeDtypeStruct((1, Cn), dt))
+    scratch = [
+        pltpu.VMEM((n, LANES), dt),            # v
+        pltpu.VMEM((n, LANES), dt),            # F
+        pltpu.VMEM((n, LANES), dt),            # ok
+        pltpu.VMEM((n * m, LANES), dt),        # K
+        pltpu.VMEM(((n + 1) * m, LANES), dt),  # at
+        pltpu.VMEM(((n + 1) * mm, LANES), dt),  # Pt
+    ]
+    alpha_r, ll_r = pl.pallas_call(
+        functools.partial(_kernel, n, m),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    alpha = jnp.swapaxes(alpha_r, 0, 1).reshape(Cn, n + 1, m)
+    return alpha, ll_r[0]
+
+
+def _batched_inputs(spec, axis_size):
+    """Normalise a batched LGSpec (leading batch axis on some leaves) into
+    dense per-chain (C, ...) arrays with static time axes squeezed.
+    Returns None if the spec shape is outside the kernel's support."""
+    n = spec.y.shape[-1]
+    m = spec.a1.shape[-1]
+    if not _supported(n, m):
+        return None
+    # time-varying Z/T/R/C unsupported (covers every fixed-form model:
+    # bsm/ar1/svm are time-invariant); H/D/y may vary over time
+    if spec.Z.shape[-2] != 1 or spec.T.shape[-3] != 1 or \
+            spec.R.shape[-3] != 1 or spec.C.shape[-2] != 1:
+        return None
+
+    def dense(x, core_shape):
+        x = jnp.asarray(x)
+        if x.ndim == len(core_shape):           # unbatched leaf
+            x = jnp.broadcast_to(x, (axis_size,) + x.shape)
+        return x
+
+    y = dense(spec.y, (n,))
+    H = dense(spec.H, (spec.H.shape[-1],))
+    if H.shape[-1] == 1:
+        H = jnp.broadcast_to(H, (axis_size, n))
+    D = dense(spec.D, (spec.D.shape[-1],)).astype(y.dtype)
+    if D.shape[-1] == 1:
+        D = jnp.broadcast_to(D, (axis_size, n))
+    Z = dense(spec.Z, (1, m))[:, 0]
+    T = dense(spec.T, (1, m, m))[:, 0]
+    R = dense(spec.R, spec.R.shape[-3:])[:, 0]
+    RR = jnp.einsum('cij,ckj->cik', R, R)
+    a1 = dense(spec.a1, (m,))
+    P1 = dense(spec.P1, (m, m))
+    C = dense(spec.C, (1, m))[:, 0]
+    return y, H * H, D, Z, T, RR, a1, P1, C, n, m
+
+
+def _interpret_mode() -> bool:
+    import jax as _jax
+    return _jax.default_backend() not in ("tpu", "axon")
+
+
+@jax.custom_batching.custom_vmap
+def fast_smoother_ll_auto(spec):
+    """`ops.kalman.fast_smoother_ll` with a custom batching rule: under
+    `vmap` (the many-chains / many-draws axes of the MCMC engines) the whole
+    batch is routed through the fused chains-in-lanes kernel instead of a
+    batched `lax.scan`.  Unbatched calls and unsupported shapes fall back to
+    the scan implementation unchanged."""
+    from . import kalman
+    return kalman.fast_smoother_ll(spec)
+
+
+@fast_smoother_ll_auto.def_vmap
+def _fast_smoother_ll_vmap(axis_size, in_batched, spec):
+    from ..core import config as _config
+    from . import kalman
+    (spec_batched,) = in_batched
+    if _config.use_fused():
+        out = fused_fast_smoother_ll_batched(spec, axis_size,
+                                             interpret=_interpret_mode())
+        if out is not None:
+            return out, (True, True)
+    axes = jax.tree_util.tree_map(lambda b: 0 if b else None, spec_batched)
+    out = jax.vmap(kalman.fast_smoother_ll, in_axes=(axes,))(spec)
+    return out, (True, True)
+
+
+def fused_fast_smoother_ll_batched(spec, axis_size, interpret=False):
+    """Batched fast_smoother_ll via the fused kernel.  ``spec`` is an LGSpec
+    whose leaves may carry a leading batch axis of ``axis_size``.
+    Returns (alpha (B, n+1, m), ll (B,)) or None if unsupported."""
+    prep = _batched_inputs(spec, axis_size)
+    if prep is None:
+        return None
+    y, h2, d, z, t, rr, a1, p1, c, n, m = prep
+    B = y.shape[0]
+    pad = (-B) % LANES
+    if pad:
+        def padc(x):
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+        y, h2, d, z, t, rr, a1, p1, c = map(
+            padc, (y, h2, d, z, t, rr, a1, p1, c))
+    alpha, ll = _fused_call(y, h2, d, z, t, rr, a1, p1, c, n=n, m=m,
+                            interpret=interpret)
+    if pad:
+        alpha, ll = alpha[:B], ll[:B]
+    # degenerate-model guard (matches ops/kalman.log_likelihood)
+    degenerate = (jnp.sum(h2[:B], axis=-1)
+                  + jnp.sum(jnp.abs(rr[:B]), axis=(-1, -2))) < ZERO_TOL
+    ll = jnp.where(degenerate, -jnp.inf, ll)
+    return alpha, ll
