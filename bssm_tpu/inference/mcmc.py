@@ -795,7 +795,8 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
              seed: int = 1, conv_tol: float = 1e-8, max_iter: int = 100,
              theta_init: Optional[jnp.ndarray] = None,
              mesh=None, corr_batch: Optional[int] = None,
-             local_approx: bool = True) -> McmcOutput:
+             local_approx: bool = True,
+             store_modes: bool = True) -> McmcOutput:
     """Bayesian inference via adaptive MCMC (`/root/reference/R/run_mcmc.R`).
 
     mcmc_type: lg models -> "gaussian"; ng models: "is2" (default), "is1",
@@ -868,14 +869,28 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
         raise ValueError(f"unknown mcmc_type {mcmc_type}")
 
     theta0 = jnp.asarray(theta0)
+    # cache the jitted chain program on the model: repeated run_mcmc calls
+    # (warm-up + measured runs, post_correct re-runs, scaling sweeps) would
+    # otherwise rebuild a fresh jit wrapper each time and re-trace the whole
+    # program even though XLA's compile cache hits
+    jit_cache = model.extra.setdefault("_jit_cache", {})
+    ckey = ("chain", mcmc_type, iter, burnin, thin, particles,
+            sampling_method, output_type, target_acceptance, gamma,
+            end_adaptive_phase, conv_tol, max_iter, local_approx,
+            theta0.ndim, None if mesh is None else id(mesh))
+    run = jit_cache.get(ckey)
     if theta0.ndim == 2:       # per-chain restart states (checkpoint resume)
         S0b = S0 if S0.ndim == 3 else jnp.broadcast_to(
             S0, (n_chains,) + S0.shape)
-        run = jax.jit(jax.vmap(chain))
+        if run is None:
+            run = jax.jit(jax.vmap(chain))
+            jit_cache[ckey] = run
         run_args = (chain_keys, theta0, S0b)
     else:
-        run = jax.jit(jax.vmap(lambda k: chain(k, theta0, S0)))
-        run_args = (chain_keys,)
+        if run is None:
+            run = jax.jit(jax.vmap(chain, in_axes=(0, None, None)))
+            jit_cache[ckey] = run
+        run_args = (chain_keys, theta0, S0)
     if mesh is not None:
         from ..parallel.mesh import chains_sharding
         run_args = (jax.device_put(run_args[0], chains_sharding(mesh)),
@@ -919,21 +934,31 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
             t1 = _time.time()
             draws = _approx_state_draws(model, res, is_key)
             out.alpha = np.asarray(draws)
-        out.modes = np.asarray(res["modes"])
+        if store_modes:
+            out.modes = np.asarray(res["modes"])
     else:  # is1 / is2 / is3
         out.prior = np.asarray(res["prior"])
         out.approx_loglik = np.asarray(res["approx_ll"])
-        out.modes = np.asarray(res["modes"])
+        if store_modes:
+            # (chains, S, n) — the dominant device->host transfer; only
+            # needed afterwards by post_correct/checkpointing
+            out.modes = np.asarray(res["modes"])
         t1 = _time.time()
         is_type = int(mcmc_type[-1])
         C, Sn = res["theta"].shape[:2]
         flat = lambda a: a.reshape((C * Sn,) + a.shape[2:])   # noqa: E731
         want_states = output_type == "full"
         want_moments = output_type == "summary"
-        corr_fn = jax.jit(lambda th, mo, k: _is_correction_flat(
-            model, th, mo, k, particles, sampling_method,
-            batch_size=corr_batch or 256, mesh=mesh,
-            want_states=want_states, want_moments=want_moments))
+        corr_key = ("corr", particles, sampling_method, corr_batch,
+                    want_states, want_moments,
+                    None if mesh is None else id(mesh))
+        corr_fn = jit_cache.get(corr_key)
+        if corr_fn is None:
+            corr_fn = jax.jit(lambda th, mo, k: _is_correction_flat(
+                model, th, mo, k, particles, sampling_method,
+                batch_size=corr_batch or 256, mesh=mesh,
+                want_states=want_states, want_moments=want_moments))
+            jit_cache[corr_key] = corr_fn
         th_flat, mo_flat = flat(res["theta"]), flat(res["modes"])
         if is_type == 2:
             # is2 corrects each stored jump-chain row (head) ONCE and shares
@@ -1021,7 +1046,11 @@ def _approx_state_draws(model: Model, res, key):
             a = simulate_states_single(g, k)
         return a.reshape(-1)
 
-    f = jax.jit(jax.vmap(jax.vmap(draw_one)))
+    cache = model.extra.setdefault("_jit_cache", {})
+    f = cache.get("approx_draws")
+    if f is None:
+        f = jax.jit(jax.vmap(jax.vmap(draw_one)))
+        cache["approx_draws"] = f
     flat = f(thetas, modes, keys)
     spec0 = model.build(thetas[0, 0])
     return flat.reshape(flat.shape[:2] + (spec0.n + 1, spec0.m))

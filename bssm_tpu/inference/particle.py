@@ -68,9 +68,10 @@ def psi_filter(spec: NGSpec, al: ApproxLoglik, nsim: int, key) -> PFResult:
     n, m = spec.n, spec.m
     dt = spec.y.dtype
     g = al.approx.gaussian(spec)
-    sm = kalman_smoother(g)
-    Lcond, Acond = conditional_cov_factors(sm.Vt, sm.ccov)
-    ahat = sm.alphahat                                     # (n+1, m)
+    # smoother + conditional factors fused into one Pallas kernel under
+    # vmap (the IS-correction draws axis); scan fallback otherwise
+    from ..ops.pallas_kalman import smoother_factors_auto
+    ahat, Lcond, Acond = smoother_factors_auto(g)          # (n+1, m), ...
 
     Zb = _bc(spec.Z, n)
     Db = _bc(spec.D.astype(dt), n)

@@ -49,16 +49,8 @@ def _supported(n: int, m: int) -> bool:
     return m <= _MAX_M and rows * LANES * 4 < _VMEM_LIMIT_BYTES
 
 
-def _kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
-            a1_ref, p1_ref, c_ref, alpha_ref, ll_ref,
-            v_s, f_s, ok_s, k_s, at_s, pt_s):
-    """One lane-block of chains.  All refs are 2D (rows, LANES) in VMEM.
-
-    Row layouts: y/h2/d (n, L); z/c/a1 (m, L); t/rr/p1 (m*m, L) with row
-    i*m+j = element (i, j); outputs alpha ((n+1)*m, L), ll (1, L); scratch
-    v/f/ok (n, L), k (n*m, L), at ((n+1)*m, L), pt ((n+1)*m*m, L).
-    """
-    dt = y_ref.dtype
+def _load_system(m, z_ref, t_ref, rr_ref, a1_ref, p1_ref, c_ref):
+    """Unpack the time-invariant system rows into per-element lane vectors."""
     mm = m * m
 
     def row(ref, i):
@@ -68,9 +60,18 @@ def _kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
     T = [[row(t_ref, i * m + j) for j in range(m)] for i in range(m)]
     RR = [[row(rr_ref, i * m + j) for j in range(m)] for i in range(m)]
     Cv = [row(c_ref, i) for i in range(m)]
-
     a0 = [row(a1_ref, i) for i in range(m)]
     P0 = [row(p1_ref, i) for i in range(mm)]
+    return Z, T, RR, Cv, a0, P0
+
+
+def _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv, a0, P0,
+                    v_s, f_s, ok_s, k_s, at_s, pt_s):
+    """Masked Joseph-form Kalman forward pass, staging per-time stats into
+    VMEM scratch.  Returns (a_n, P_n, ll) lane vectors; shared by the
+    fast-smoother and RTS kernels."""
+    dt = y_ref.dtype
+    mm = m * m
     ll0 = jnp.zeros_like(a0[0])
 
     def fwd(t, carry):
@@ -154,12 +155,30 @@ def _kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
         return a_next, P_next, ll
 
     a_n, P_n, ll = jax.lax.fori_loop(0, n, fwd, (a0, P0, ll0))
-    ll_ref[0, :] = ll
     for i in range(m):
         at_s[n * m + i, :] = a_n[i]
-        alpha_ref[n * m + i, :] = a_n[i]
     for ij in range(mm):
         pt_s[n * mm + ij, :] = P_n[ij]
+    return a_n, P_n, ll
+
+
+def _kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
+            a1_ref, p1_ref, c_ref, alpha_ref, ll_ref,
+            v_s, f_s, ok_s, k_s, at_s, pt_s):
+    """One lane-block of chains.  All refs are 2D (rows, LANES) in VMEM.
+
+    Row layouts: y/h2/d (n, L); z/c/a1 (m, L); t/rr/p1 (m*m, L) with row
+    i*m+j = element (i, j); outputs alpha ((n+1)*m, L), ll (1, L); scratch
+    v/f/ok (n, L), k (n*m, L), at ((n+1)*m, L), pt ((n+1)*m*m, L).
+    """
+    mm = m * m
+    Z, T, RR, Cv, a0, P0 = _load_system(m, z_ref, t_ref, rr_ref, a1_ref,
+                                        p1_ref, c_ref)
+    a_n, P_n, ll = _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv,
+                                   a0, P0, v_s, f_s, ok_s, k_s, at_s, pt_s)
+    ll_ref[0, :] = ll
+    for i in range(m):
+        alpha_ref[n * m + i, :] = a_n[i]
 
     # backward mean pass: r_{t-1} = ok (Z v/F + L' r_t) + (1-ok) T' r_t,
     # L = T (I - K Z');  alphahat_t = a_t + P_t r_{t-1}   (DK eq. 4.44)
@@ -288,6 +307,337 @@ def _batched_inputs(spec, axis_size):
 def _interpret_mode() -> bool:
     import jax as _jax
     return _jax.default_backend() not in ("tpu", "axon")
+
+
+# ---------------------------------------------------------------------------
+# fused RTS smoother + psi-APF conditional proposal factors
+# ---------------------------------------------------------------------------
+# The IS post-correction runs, per stored draw, a full variance smoother and
+# the conversion of (Vt, ccov) into the conditional proposal N(ahat_t +
+# A_t (a_{t-1} - ahat_{t-1}), L_t L_t') (`/root/reference/src/
+# conditional_dist.cpp:4-67`).  Fusing filter + RTS backward pass + the
+# closed-form m<=2 eigen-factorisations into one draws-in-lanes kernel
+# removes ~460 tiny scan dispatches per correction batch.
+
+_MAX_M_RTS = 2     # closed-form eigendecomposition bound
+
+
+def _supported_rts(n: int, m: int) -> bool:
+    mm = m * m
+    rows = (3 * n                      # y, h2, d
+            + n * (3 + m)              # v, F, ok, K
+            + (n + 1) * (2 * m + 5 * mm))  # at, ahat, Pt, Vt, cc, Lc, Ac
+    return m <= _MAX_M_RTS and rows * LANES * 4 < _VMEM_LIMIT_BYTES
+
+
+def _lane_eig2(v00, v01, v11):
+    """Closed-form symmetric 2x2 eigensystem on lane vectors (cf.
+    ops.chol._eigh2x2).  Returns (w_small, w_big, u1, u2) where the
+    big-eigenvalue eigenvector is (u1, u2) and the small one (-u2, u1)."""
+    half_tr = 0.5 * (v00 + v11)
+    half_diff = 0.5 * (v00 - v11)
+    r = jnp.sqrt(half_diff * half_diff + v01 * v01)
+    use_first = jnp.abs(r - half_diff) > jnp.abs(r + half_diff)
+    u1 = jnp.where(use_first, v01, r + half_diff)
+    u2 = jnp.where(use_first, r - half_diff, v01)
+    nrm = jnp.sqrt(u1 * u1 + u2 * u2)
+    ok = nrm > 0
+    nrm = jnp.where(ok, nrm, 1.0)
+    u1 = jnp.where(ok, u1 / nrm, 1.0)
+    u2 = jnp.where(ok, u2 / nrm, 0.0)
+    return half_tr - r, half_tr + r, u1, u2
+
+
+def _lane_pinv(m, V, eps):
+    """Clipped PSD pseudo-inverse on lane vectors; V is a list of mm
+    entries.  Mirrors ops.chol._psd_pinv exactly."""
+    if m == 1:
+        v = V[0]
+        tol = eps * jnp.maximum(v, 0.0)
+        return [jnp.where(v > tol, 1.0 / jnp.where(v > tol, v, 1.0), 0.0)]
+    w1, w2, u1, u2 = _lane_eig2(V[0], 0.5 * (V[1] + V[2]), V[3])
+    tol = eps * 2.0 * jnp.maximum(w2, 0.0)
+
+    def inv(w):
+        return jnp.where(w > tol, 1.0 / jnp.where(w > tol, w, 1.0), 0.0)
+
+    iw1, iw2 = inv(w1), inv(w2)
+    return [iw1 * u2 * u2 + iw2 * u1 * u1,
+            -iw1 * u2 * u1 + iw2 * u1 * u2,
+            -iw1 * u2 * u1 + iw2 * u1 * u2,
+            iw1 * u1 * u1 + iw2 * u2 * u2]
+
+
+def _lane_factor(m, V):
+    """Clipped symmetric square-root factor on lane vectors; mirrors
+    ops.chol._psd_factor (columns = eigvecs * sqrt(clipped eigvals))."""
+    if m == 1:
+        return [jnp.sqrt(jnp.maximum(V[0], 0.0))]
+    w1, w2, u1, u2 = _lane_eig2(V[0], 0.5 * (V[1] + V[2]), V[3])
+    s1 = jnp.sqrt(jnp.maximum(w1, 0.0))
+    s2 = jnp.sqrt(jnp.maximum(w2, 0.0))
+    # B = [col_small * s1, col_big * s2], col_small = (-u2, u1)
+    return [-u2 * s1, u1 * s2, u1 * s1, u2 * s2]
+
+
+def _rts_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
+                a1_ref, p1_ref, c_ref, ahat_ref, lc_ref, ac_ref,
+                v_s, f_s, ok_s, k_s, at_s, pt_s, vt_s, cc_s):
+    """Forward filter + RTS backward pass (means, variances, lag-1 ccov) +
+    conditional proposal factors, one lane-block of draws."""
+    mm = m * m
+    dt = y_ref.dtype
+    eps = float(np.finfo(np.float32).eps) if dt == jnp.float32 \
+        else float(np.finfo(np.float64).eps)
+    Z, T, RR, Cv, a0, P0 = _load_system(m, z_ref, t_ref, rr_ref, a1_ref,
+                                        p1_ref, c_ref)
+    a_n, P_n, _ = _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv,
+                                  a0, P0, v_s, f_s, ok_s, k_s, at_s, pt_s)
+    zero = jnp.zeros_like(a_n[0])
+    for i in range(m):
+        ahat_ref[n * m + i, :] = a_n[i]
+    for ij in range(mm):
+        vt_s[n * mm + ij, :] = P_n[ij]
+        cc_s[n * mm + ij, :] = zero
+
+    r0 = [zero for _ in range(m)]
+    N0 = [zero for _ in range(mm)]
+
+    def bwd(it, carry):
+        r, N = carry
+        t = n - 1 - it
+        v = v_s[t, :]
+        F = f_s[t, :]
+        okf = ok_s[t, :]
+        K = [k_s[t * m + i, :] for i in range(m)]
+        P = [pt_s[t * mm + ij, :] for ij in range(mm)]
+        Pn1 = [pt_s[(t + 1) * mm + ij, :] for ij in range(mm)]
+        # L = T (I - K Z'); K==0 at masked steps so L collapses to T there,
+        # matching ops.kalman.smoother's okf-select
+        TK = []
+        for i in range(m):
+            s = zero
+            for l in range(m):
+                s = s + T[i][l] * K[l]
+            TK.append(s)
+        L = [[T[i][j] - TK[i] * Z[j] for j in range(m)] for i in range(m)]
+        # ccov_t = P_t L' (I - N_t P_{t+1})
+        PLt = [[None] * m for _ in range(m)]
+        for i in range(m):
+            for j in range(m):
+                s = zero
+                for l in range(m):
+                    s = s + P[i * m + l] * L[j][l]
+                PLt[i][j] = s
+        M = [[None] * m for _ in range(m)]      # I - N P_next
+        for i in range(m):
+            for j in range(m):
+                s = zero
+                for l in range(m):
+                    s = s + N[i * m + l] * Pn1[l * m + j]
+                M[i][j] = (1.0 if i == j else 0.0) - s
+        for i in range(m):
+            for j in range(m):
+                s = zero
+                for l in range(m):
+                    s = s + PLt[i][l] * M[l][j]
+                cc_s[t * mm + i * m + j, :] = s
+        # r_{t-1} = Z v/F + L' r   (v masked to 0 at missing steps)
+        r_new = []
+        for j in range(m):
+            s = Z[j] * (v / F)
+            for i in range(m):
+                s = s + L[i][j] * r[i]
+            r_new.append(s)
+        # N_{t-1} = ok ZZ'/F + L' N L, symmetrised
+        NL = [[None] * m for _ in range(m)]
+        for i in range(m):
+            for j in range(m):
+                s = zero
+                for l in range(m):
+                    s = s + N[i * m + l] * L[l][j]
+                NL[i][j] = s
+        N_new = [zero] * mm
+        for i in range(m):
+            for j in range(m):
+                s = okf * Z[i] * Z[j] / F
+                for l in range(m):
+                    s = s + L[l][i] * NL[l][j]
+                N_new[i * m + j] = s
+        N_new = [0.5 * (N_new[i * m + j] + N_new[j * m + i])
+                 for i in range(m) for j in range(m)]
+        # ahat_t = a_t + P r ; V_t = P - P N P, symmetrised
+        for i in range(m):
+            s = at_s[t * m + i, :]
+            for j in range(m):
+                s = s + P[i * m + j] * r_new[j]
+            ahat_ref[t * m + i, :] = s
+        PN = [[None] * m for _ in range(m)]
+        for i in range(m):
+            for j in range(m):
+                s = zero
+                for l in range(m):
+                    s = s + P[i * m + l] * N_new[l * m + j]
+                PN[i][j] = s
+        V = [zero] * mm
+        for i in range(m):
+            for j in range(m):
+                s = P[i * m + j]
+                for l in range(m):
+                    s = s - PN[i][l] * P[l * m + j]
+                V[i * m + j] = s
+        for i in range(m):
+            for j in range(m):
+                vt_s[t * mm + i * m + j, :] = 0.5 * (
+                    V[i * m + j] + V[j * m + i])
+        return r_new, N_new
+
+    jax.lax.fori_loop(0, n, bwd, (r0, N0))
+
+    # conditional factors: A_t = ccov_{t-1}' pinv(V_{t-1}),
+    # Vc = V_t - A ccov_{t-1}, Lc = factor(Vc);  t=0: A=0, Lc=factor(V_0)
+    V0 = [vt_s[ij, :] for ij in range(mm)]
+    Lc0 = _lane_factor(m, V0)
+    for ij in range(mm):
+        lc_ref[ij, :] = Lc0[ij]
+        ac_ref[ij, :] = zero
+
+    def cf(tm1, _):
+        t = tm1 + 1
+        Vp = [vt_s[(t - 1) * mm + ij, :] for ij in range(mm)]
+        Cp = [cc_s[(t - 1) * mm + ij, :] for ij in range(mm)]
+        V = [vt_s[t * mm + ij, :] for ij in range(mm)]
+        Pinv = _lane_pinv(m, Vp, eps)
+        A = [zero] * mm
+        for i in range(m):
+            for j in range(m):
+                s = zero
+                for l in range(m):
+                    s = s + Cp[l * m + i] * Pinv[l * m + j]
+                A[i * m + j] = s
+        Vc = [zero] * mm
+        for i in range(m):
+            for j in range(m):
+                s = V[i * m + j]
+                for l in range(m):
+                    s = s - A[i * m + l] * Cp[l * m + j]
+                Vc[i * m + j] = s
+        Lc = _lane_factor(m, Vc)
+        for ij in range(mm):
+            ac_ref[t * mm + ij, :] = A[ij]
+            lc_ref[t * mm + ij, :] = Lc[ij]
+        return 0
+
+    jax.lax.fori_loop(0, n, cf, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "interpret"))
+def _fused_rts_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, interpret=False):
+    """Returns (ahat (C, n+1, m), Lcond (C, n+1, m, m), Acond (C, n+1, m, m))."""
+    Cn = y.shape[0]
+    dt = y.dtype
+    mm = m * m
+
+    def lanes_last(x, rows):
+        return jnp.swapaxes(x.reshape(Cn, rows), 0, 1)
+
+    args = (lanes_last(y, n), lanes_last(h2, n), lanes_last(d, n),
+            lanes_last(z, m), lanes_last(t, mm), lanes_last(rr, mm),
+            lanes_last(a1, m), lanes_last(p1, mm), lanes_last(c, m))
+    grid = (Cn // LANES,)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [spec(n), spec(n), spec(n), spec(m), spec(mm), spec(mm),
+                spec(m), spec(mm), spec(m)]
+    out_specs = (spec((n + 1) * m), spec((n + 1) * mm), spec((n + 1) * mm))
+    out_shape = (jax.ShapeDtypeStruct(((n + 1) * m, Cn), dt),
+                 jax.ShapeDtypeStruct(((n + 1) * mm, Cn), dt),
+                 jax.ShapeDtypeStruct(((n + 1) * mm, Cn), dt))
+    scratch = [
+        pltpu.VMEM((n, LANES), dt),             # v
+        pltpu.VMEM((n, LANES), dt),             # F
+        pltpu.VMEM((n, LANES), dt),             # ok
+        pltpu.VMEM((n * m, LANES), dt),         # K
+        pltpu.VMEM(((n + 1) * m, LANES), dt),   # at
+        pltpu.VMEM(((n + 1) * mm, LANES), dt),  # Pt
+        pltpu.VMEM(((n + 1) * mm, LANES), dt),  # Vt
+        pltpu.VMEM(((n + 1) * mm, LANES), dt),  # ccov
+    ]
+    ahat_r, lc_r, ac_r = pl.pallas_call(
+        functools.partial(_rts_kernel, n, m),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    ahat = jnp.swapaxes(ahat_r, 0, 1).reshape(Cn, n + 1, m)
+    Lc = jnp.swapaxes(lc_r, 0, 1).reshape(Cn, n + 1, m, m)
+    Ac = jnp.swapaxes(ac_r, 0, 1).reshape(Cn, n + 1, m, m)
+    return ahat, Lc, Ac
+
+
+def fused_smoother_factors_batched(spec, axis_size, interpret=False):
+    """Batched (alphahat, Lcond, Acond) via the fused RTS kernel, or None
+    if the spec is outside the kernel contract."""
+    n = spec.y.shape[-1]
+    m = spec.a1.shape[-1]
+    if not _supported_rts(n, m):
+        return None
+    prep = _batched_inputs(spec, axis_size)
+    if prep is None:
+        return None
+    y, h2, d, z, t, rr, a1, p1, c, n, m = prep
+    B = y.shape[0]
+    pad = (-B) % LANES
+    if pad:
+        def padc(x):
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+        y, h2, d, z, t, rr, a1, p1, c = map(
+            padc, (y, h2, d, z, t, rr, a1, p1, c))
+    ahat, Lc, Ac = _fused_rts_call(y, h2, d, z, t, rr, a1, p1, c, n=n, m=m,
+                                   interpret=interpret)
+    if pad:
+        ahat, Lc, Ac = ahat[:B], Lc[:B], Ac[:B]
+    return ahat, Lc, Ac
+
+
+@jax.custom_batching.custom_vmap
+def smoother_factors_auto(spec):
+    """(alphahat, Lcond, Acond) for the psi-APF proposal; batched calls
+    route through the fused RTS kernel when supported."""
+    from . import kalman
+    from .chol import conditional_cov_factors
+    sm = kalman.smoother(spec)
+    Lc, Ac = conditional_cov_factors(sm.Vt, sm.ccov)
+    return sm.alphahat, Lc, Ac
+
+
+@smoother_factors_auto.def_vmap
+def _smoother_factors_vmap(axis_size, in_batched, spec):
+    from ..core import config as _config
+    from . import kalman
+    from .chol import conditional_cov_factors
+    (spec_batched,) = in_batched
+    if _config.use_fused():
+        out = fused_smoother_factors_batched(spec, axis_size,
+                                             interpret=_interpret_mode())
+        if out is not None:
+            return out, (True, True, True)
+    axes = jax.tree_util.tree_map(lambda b: 0 if b else None, spec_batched)
+
+    def base(s):
+        sm = kalman.smoother(s)
+        Lc, Ac = conditional_cov_factors(sm.Vt, sm.ccov)
+        return sm.alphahat, Lc, Ac
+
+    out = jax.vmap(base, in_axes=(axes,))(spec)
+    return out, (True, True, True)
 
 
 @jax.custom_batching.custom_vmap
