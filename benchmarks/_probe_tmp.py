@@ -21,7 +21,7 @@ iters = 1000
 def run(seed):
     return run_mcmc(model, iter=iters, particles=10,
                     mcmc_type="is2", n_chains=n_chains, seed=seed,
-                    output_type="theta", corr_batch=2048)
+                    output_type="theta", corr_batch=2048, store_modes=False)
 t0=time.time(); out = run(0); t_warm = time.time()-t0
 t0=time.time(); out = run(1); t_run = time.time()-t0
 print(json.dumps({"chains": n_chains, "warm_s": round(t_warm,2), "run_s": round(t_run,2),

@@ -558,10 +558,25 @@ def _make_correct_one(model: Model, nsim, sampling_method,
     pad only the last dim to the 128-lane boundary."""
     ops = _family_ops(model, conv_tol, max_iter)
 
+    logw_only = not want_states and not want_moments
+
     def correct_one(args):
         theta_i, mode_i, key_i = args
         spec = model.build(theta_i)
         k_pf, k_draw = jax.random.split(key_i)
+        if sampling_method == "psi" and logw_only and model.kind == "ng":
+            # log-weight-only corrections skip trajectory storage and
+            # route through the fused RTS + psi Pallas kernels under vmap
+            from .approx import ApproxLoglik, approximate_for_is
+            from . import approx as _amod
+            ar = approximate_for_is(spec, mode_i)
+            sc = jnp.where(spec.obs_mask,
+                           _amod.fam.scales(spec.distribution, spec.y,
+                                            spec.u, spec.phi, ar.mode,
+                                            ar.ytilde, ar.Htilde), 0.0)
+            zero = jnp.zeros((), spec.y.dtype)
+            al = ApproxLoglik(ar, sc, zero, zero)
+            return {"log_w": pf_mod.psi_logw(spec, al, nsim, k_pf)}
         if sampling_method == "psi":
             log_w, traced, final_w = ops.psi(spec, mode_i, nsim, k_pf)
         elif sampling_method == "bsf":

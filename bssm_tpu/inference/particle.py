@@ -252,6 +252,78 @@ def bsf_filter_lg(spec: LGSpec, nsim: int, key) -> PFResult:
     return PFResult(loglik, jnp.swapaxes(alpha, 0, 1), weights.T, idxs.T)
 
 
+def psi_logw(spec: NGSpec, al: ApproxLoglik, nsim: int, key) -> jnp.ndarray:
+    """The psi-APF log-likelihood estimate ONLY (no trajectories) — the IS
+    post-correction's inner quantity when states aren't requested.  All
+    randomness is pre-generated (one threefry sweep) so that under `vmap`
+    the whole batch can route through the fused Pallas kernel
+    (`ops/pallas_kalman.psi_logw_auto`) consuming identical inputs."""
+    from ..ops.pallas_kalman import psi_logw_auto
+    n, m = spec.n, spec.m
+    dt = spec.y.dtype
+    k_e, k_r = jax.random.split(key)
+    eps = jax.random.normal(k_e, (n + 1, nsim, m), dt)
+    us = jax.random.uniform(k_r, (n, nsim), dt)
+    return al.loglik + psi_logw_auto(spec, al, eps, us)
+
+
+def psi_logw_scan(spec: NGSpec, al: ApproxLoglik, eps: jnp.ndarray,
+                  us: jnp.ndarray) -> jnp.ndarray:
+    """Scan implementation of the psi-APF log-weight with injected
+    randomness; semantics identical to ``psi_filter`` minus trajectory
+    storage (`/root/reference/src/model_ssm_ung.cpp:511-609`)."""
+    from ..ops.pallas_kalman import smoother_factors_auto
+    from ..ops.resample import stratified_indices_from_uniforms
+    n, m = spec.n, spec.m
+    nsim = eps.shape[1]
+    dt = spec.y.dtype
+    g = al.approx.gaussian(spec)
+    ahat, Lcond, Acond = smoother_factors_auto(g)
+    Zb = _bc(spec.Z, n)
+    Db = _bc(spec.D.astype(dt), n)
+    scl = al.scales
+
+    alpha0 = ahat[0] + eps[0] @ Lcond[0].T
+    y0ok = jnp.isfinite(spec.y[0])
+    s0 = _signals(spec, alpha0, Zb[0], Db[0])
+    lw0 = fam.log_weights(spec.distribution, spec.y[0], spec.u[0], spec.phi,
+                          s0, al.approx.ytilde[0], al.approx.Htilde[0]) \
+        - scl[0]
+    inc0, nw0 = _lse_update(jnp.where(y0ok, lw0, 0.0), nsim, dt)
+    ll0 = jnp.where(y0ok, inc0, 0.0)
+    nw0 = jnp.where(y0ok, nw0, jnp.ones((nsim,), dt) / nsim)
+
+    pad_nan = jnp.full((1,), jnp.nan, dt)
+    y_next = jnp.concatenate([spec.y[1:], pad_nan])
+    u_next = jnp.concatenate([spec.u[1:], jnp.ones((1,), dt)])
+    yt_next = jnp.concatenate([al.approx.ytilde[1:], pad_nan])
+    H_next = jnp.concatenate([al.approx.Htilde[1:], jnp.ones((1,), dt)])
+    sc_next = jnp.concatenate([scl[1:], jnp.zeros((1,), dt)])
+    Z_next = jnp.concatenate([Zb[1:], Zb[-1:]])
+    D_next = jnp.concatenate([Db[1:], Db[-1:]])
+
+    def step(carry, xs):
+        alpha_t, nw, ll = carry
+        (r_t, e_t, ahat_t, ahat_n, A_n, L_n, y_n, u_n, yt_n, H_n, sc_n,
+         Z_n, D_n) = xs
+        idx = stratified_indices_from_uniforms(nw, r_t)
+        anc = alpha_t[idx]
+        alpha_next = ahat_n + (anc - ahat_t) @ A_n.T + e_t @ L_n.T
+        ok = jnp.isfinite(y_n)
+        s = _signals(spec, alpha_next, Z_n, D_n)
+        lw = fam.log_weights(spec.distribution, y_n, u_n, spec.phi, s,
+                             yt_n, H_n) - sc_n
+        inc, nw_new = _lse_update(jnp.where(ok, lw, 0.0), nsim, dt)
+        ll = ll + jnp.where(ok, inc, 0.0)
+        nw_new = jnp.where(ok, nw_new, jnp.ones((nsim,), dt) / nsim)
+        return (alpha_next, nw_new, ll), None
+
+    xs = (us, eps[1:], ahat[:-1], ahat[1:], Acond[1:], Lcond[1:],
+          y_next, u_next, yt_next, H_next, sc_next, Z_next, D_next)
+    (_, _, ll), _ = jax.lax.scan(step, (alpha0, nw0, ll0), xs)
+    return ll
+
+
 class SPDKResult(NamedTuple):
     loglik: jnp.ndarray
     alpha: jnp.ndarray     # (N, n+1, m) independent smoother draws

@@ -607,6 +607,294 @@ def fused_smoother_factors_batched(spec, axis_size, interpret=False):
     return ahat, Lc, Ac
 
 
+# ---------------------------------------------------------------------------
+# fused psi-APF log-weight kernel
+# ---------------------------------------------------------------------------
+# One lane = one IS-correction draw; the N-particle ensemble lives in
+# unrolled registers (N <= 16: the psi-APF needs 10-50 particles,
+# `/root/reference/vignettes/psi_pf.Rmd:34-80`).  Stratified resampling is
+# a branch-free one-hot contraction (no per-lane gather exists on the VPU).
+# Randomness (normals + resampling uniforms) is injected as inputs so the
+# kernel is deterministic given the same threefry stream as the scan path.
+
+_MAX_N_PSI = 16
+
+# family codes duplicated from core.spec to avoid an import cycle
+_SVM, _POISSON, _BINOMIAL, _NEGBIN, _GAMMA = 0, 1, 2, 3, 4
+
+
+def _supported_psi(n: int, m: int, N: int) -> bool:
+    rows = (6 * n + m + 1 + (n + 1) * (m + 2 * m * m)
+            + (n + 1) * N * m + n * N)
+    return (m <= _MAX_M_RTS and N <= _MAX_N_PSI
+            and rows * LANES * 4 < _VMEM_LIMIT_BYTES)
+
+
+def _lane_safe_exp(x):
+    return jnp.exp(jnp.minimum(x, 80.0))
+
+
+def _lane_log_weight(dist, y, u, phi, s, yt, ht):
+    """log g(y|s) - log g~(yt|s) on lane vectors; mirrors
+    core.distributions.log_weights for the univariate families."""
+    ok = jnp.isfinite(y)
+    ys = jnp.where(ok, y, 0.0)
+    if dist == _SVM:
+        w = -0.5 * (s + jnp.square(ys / phi) * _lane_safe_exp(-s))
+    elif dist == _POISSON:
+        w = ys * s - u * _lane_safe_exp(s)
+    elif dist == _BINOMIAL:
+        # logaddexp(0, s) = max(s, 0) + log1p(exp(-|s|))
+        w = ys * s - u * (jnp.maximum(s, 0.0)
+                          + jnp.log1p(jnp.exp(-jnp.abs(s))))
+    elif dist == _NEGBIN:
+        w = ys * s - (ys + phi) * jnp.log(phi + u * _lane_safe_exp(s))
+    elif dist == _GAMMA:
+        w = -phi * (s + ys * _lane_safe_exp(-s) / u)
+    else:
+        raise ValueError(f"psi kernel: unsupported family {dist}")
+    okg = jnp.isfinite(yt)
+    hts = jnp.where(okg & (ht > 0), ht, 1.0)
+    g = jnp.where(okg, -0.5 * jnp.square((yt - s) / hts), 0.0)
+    return jnp.where(ok, w, 0.0) - g
+
+
+def _psi_kernel(n: int, m: int, N: int, dist: int,
+                yt_ref, ht_ref, y_ref, u_ref, sc_ref, d_ref, z_ref, phi_ref,
+                ahat_ref, lc_ref, ac_ref, eps_ref, us_ref, logw_ref):
+    """Row layouts (rows, LANES): yt/ht/y/u/sc/d (n); z (m); phi (1);
+    ahat ((n+1)m); lc/ac ((n+1)mm); eps ((n+1)*N*m) at row t*N*m + p*m + i;
+    us (n*N) at row t*N + p; output logw (1, L)."""
+    mm = m * m
+    Z = [z_ref[i, :] for i in range(m)]
+    phi = phi_ref[0, :]
+    inv_n = 1.0 / N
+    tiny = 1e-35
+
+    def signal(alpha_p, d_t):
+        if dist == _SVM:
+            return alpha_p[0]
+        s = d_t
+        for i in range(m):
+            s = s + Z[i] * alpha_p[i]
+        return s
+
+    def lse(lws):
+        mx = lws[0]
+        for p in range(1, N):
+            mx = jnp.maximum(mx, lws[p])
+        mx_ok = jnp.isfinite(mx)
+        mxs = jnp.where(mx_ok, mx, 0.0)
+        ws = [jnp.where(jnp.isfinite(lws[p]),
+                        jnp.exp(lws[p] - mxs), 0.0) for p in range(N)]
+        sw = ws[0]
+        for p in range(1, N):
+            sw = sw + ws[p]
+        ok2 = (sw > 0) & mx_ok
+        sws = jnp.maximum(sw, tiny)
+        inc = jnp.where(ok2, mxs + jnp.log(sws * inv_n), -jnp.inf)
+        nw = [jnp.where(ok2, ws[p] / sws, inv_n) for p in range(N)]
+        return inc, nw
+
+    def weight_cols(t_row, alpha):
+        y = y_ref[t_row, :]
+        u = u_ref[t_row, :]
+        yt = yt_ref[t_row, :]
+        ht = ht_ref[t_row, :]
+        sc = sc_ref[t_row, :]
+        d = d_ref[t_row, :]
+        oky = jnp.isfinite(y)
+        lws = [_lane_log_weight(dist, y, u, phi, signal(alpha[p], d), yt, ht)
+               - sc for p in range(N)]
+        lws = [jnp.where(oky, lws[p], 0.0) for p in range(N)]
+        inc, nw = lse(lws)
+        okf = oky.astype(inc.dtype)
+        inc = okf * jnp.where(oky, inc, 0.0)
+        nw = [jnp.where(oky, nw[p], inv_n) for p in range(N)]
+        return inc, nw
+
+    # t = 0: draw from N(ahat_0, L_0 L_0')
+    ah0 = [ahat_ref[i, :] for i in range(m)]
+    L0 = [lc_ref[ij, :] for ij in range(mm)]
+    alpha = []
+    for p in range(N):
+        e = [eps_ref[p * m + j, :] for j in range(m)]
+        a_p = []
+        for i in range(m):
+            s = ah0[i]
+            for j in range(m):
+                s = s + L0[i * m + j] * e[j]
+            a_p.append(s)
+        alpha.append(a_p)
+    ll, nw = weight_cols(0, alpha)
+
+    def step(tm1, carry):
+        alpha, nw, ll = carry
+        t = tm1 + 1
+        # stratified resampling as a one-hot contraction
+        cum = []
+        run = nw[0]
+        for q in range(N):
+            if q > 0:
+                run = run + nw[q]
+            cum.append(run)
+        one = jnp.ones_like(run)
+        cum[N - 1] = one                       # cp[-1] := 1 exactly
+        anc = [[jnp.zeros_like(run) for _ in range(m)] for _ in range(N)]
+        for p in range(N):
+            r_p = us_ref[tm1 * N + p, :]
+            u_p = (p + r_p) * inv_n
+            for q in range(N):
+                ge = cum[q] >= u_p
+                if q == 0:
+                    h = ge
+                else:
+                    h = ge & (cum[q - 1] < u_p)
+                hf = h.astype(run.dtype)
+                for i in range(m):
+                    anc[p][i] = anc[p][i] + hf * alpha[q][i]
+        # propagate through the conditional proposal
+        ah_prev = [ahat_ref[tm1 * m + i, :] for i in range(m)]
+        ah_t = [ahat_ref[t * m + i, :] for i in range(m)]
+        A = [ac_ref[t * mm + ij, :] for ij in range(mm)]
+        L = [lc_ref[t * mm + ij, :] for ij in range(mm)]
+        alpha_new = []
+        for p in range(N):
+            e = [eps_ref[t * N * m + p * m + j, :] for j in range(m)]
+            a_p = []
+            for i in range(m):
+                s = ah_t[i]
+                for j in range(m):
+                    s = s + A[i * m + j] * (anc[p][j] - ah_prev[j]) \
+                        + L[i * m + j] * e[j]
+                a_p.append(s)
+            alpha_new.append(a_p)
+        inc, nw_new = weight_cols(t, alpha_new)
+        return alpha_new, nw_new, ll + inc
+
+    # the scan reference runs one extra phantom step at t=n against padded
+    # NaN observations (contributing exactly 0); the kernel stops at n-1 —
+    # same statistic, no out-of-bounds row reads
+    _, _, ll = jax.lax.fori_loop(0, n - 1, step, (alpha, nw, ll))
+    logw_ref[0, :] = ll
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "m", "N", "dist", "interpret"))
+def _fused_psi_call(yt, ht, y, u, sc, d, z, phi, ahat, lc, ac, eps, us, *,
+                    n, m, N, dist, interpret=False):
+    Cn = y.shape[0]
+    dt = y.dtype
+    mm = m * m
+
+    def lanes_last(x, rows):
+        return jnp.swapaxes(x.reshape(Cn, rows), 0, 1)
+
+    args = (lanes_last(yt, n), lanes_last(ht, n), lanes_last(y, n),
+            lanes_last(u, n), lanes_last(sc, n), lanes_last(d, n),
+            lanes_last(z, m), lanes_last(phi, 1),
+            lanes_last(ahat, (n + 1) * m), lanes_last(lc, (n + 1) * mm),
+            lanes_last(ac, (n + 1) * mm),
+            lanes_last(eps, (n + 1) * N * m), lanes_last(us, n * N))
+    grid = (Cn // LANES,)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [spec(n)] * 6 + [spec(m), spec(1), spec((n + 1) * m),
+                                spec((n + 1) * mm), spec((n + 1) * mm),
+                                spec((n + 1) * N * m), spec(n * N)]
+    logw = pl.pallas_call(
+        functools.partial(_psi_kernel, n, m, N, dist),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=spec(1),
+        out_shape=jax.ShapeDtypeStruct((1, Cn), dt),
+        scratch_shapes=[],
+        interpret=interpret,
+    )(*args)
+    return logw[0]
+
+
+def fused_psi_logw_batched(spec, al, eps, us, axis_size, interpret=False):
+    """Batched psi-APF log-weight via the fused factor + psi kernels.
+    ``spec`` an NGSpec, ``al`` an ApproxLoglik, leaves possibly batched;
+    eps (B, n+1, N, m), us (B, n, N).  Returns (B,) or None."""
+    n = spec.y.shape[-1]
+    m = spec.a1.shape[-1]
+    N = eps.shape[-2]
+    if not (_supported_psi(n, m, N) and _supported_rts(n, m)):
+        return None
+    if spec.distribution not in (_SVM, _POISSON, _BINOMIAL, _NEGBIN, _GAMMA):
+        return None
+    g = spec.approx_gaussian(al.approx.ytilde, al.approx.Htilde)
+    fac = fused_smoother_factors_batched(g, axis_size, interpret=interpret)
+    if fac is None:
+        return None
+    ahat, Lc, Ac = fac
+    B = ahat.shape[0]
+    dt = ahat.dtype
+
+    def dense(x, core_ndim):
+        x = jnp.asarray(x, dt)
+        if x.ndim == core_ndim:
+            x = jnp.broadcast_to(x, (B,) + x.shape)
+        return x
+
+    y = dense(spec.y, 1)
+    u = dense(spec.u, 1)
+    yt = dense(al.approx.ytilde, 1)
+    ht = dense(al.approx.Htilde, 1)
+    sc = dense(al.scales, 1)
+    D = dense(spec.D, 1)
+    if D.shape[-1] == 1:
+        D = jnp.broadcast_to(D, (B, n))
+    Z = dense(spec.Z, 2)[:, 0]
+    phi_arr = jnp.asarray(spec.phi, dt)
+    if phi_arr.ndim == 0:                       # unbatched scalar
+        phi = jnp.full((B, 1), phi_arr, dt)
+    else:                                       # batched (B,) / (B, 1)
+        phi = phi_arr.reshape(B, 1)
+    eps = dense(eps, 3)
+    us = dense(us, 2)
+    pad = (-B) % LANES
+    arrays = [yt, ht, y, u, sc, D, Z, phi, ahat, Lc, Ac, eps, us]
+    if pad:
+        def padc(x):
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+        arrays = [padc(x) for x in arrays]
+    yt, ht, y, u, sc, D, Z, phi, ahat, Lc, Ac, eps, us = arrays
+    logw = _fused_psi_call(yt, ht, y, u, sc, D, Z, phi, ahat, Lc, Ac,
+                           eps, us, n=n, m=m, N=N,
+                           dist=spec.distribution, interpret=interpret)
+    return logw[:B]
+
+
+@jax.custom_batching.custom_vmap
+def psi_logw_auto(spec, al, eps, us):
+    """psi-APF log-weight with injected randomness; batched calls fuse the
+    RTS-factor and psi kernels on TPU."""
+    from ..inference.particle import psi_logw_scan
+    return psi_logw_scan(spec, al, eps, us)
+
+
+@psi_logw_auto.def_vmap
+def _psi_logw_vmap(axis_size, in_batched, spec, al, eps, us):
+    from ..core import config as _config
+    from ..inference.particle import psi_logw_scan
+    if _config.use_fused():
+        out = fused_psi_logw_batched(spec, al, eps, us, axis_size,
+                                     interpret=_interpret_mode())
+        if out is not None:
+            return out, True
+    axes = jax.tree_util.tree_map(lambda b: 0 if b else None,
+                                  tuple(in_batched))
+    out = jax.vmap(psi_logw_scan, in_axes=axes)(spec, al, eps, us)
+    return out, True
+
+
 @jax.custom_batching.custom_vmap
 def smoother_factors_auto(spec):
     """(alphahat, Lcond, Acond) for the psi-APF proposal; batched calls

@@ -52,6 +52,19 @@ def ancestor_trace(alpha: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(alpha, gather[:, :, None], axis=0)
 
 
+def stratified_indices_from_uniforms(weights: jnp.ndarray,
+                                     r: jnp.ndarray) -> jnp.ndarray:
+    """Stratified resampling with caller-supplied uniforms r ~ U(0,1)^N —
+    lets filters pre-generate all randomness up front (one threefry sweep)
+    and keeps Pallas/XLA implementations bit-comparable."""
+    N = weights.shape[0]
+    cp = jnp.cumsum(weights)
+    cp = cp.at[-1].set(1.0)
+    u = (jnp.arange(N, dtype=weights.dtype) + r) / N
+    return jnp.clip(jnp.searchsorted(cp, u, side="left"), 0,
+                    N - 1).astype(jnp.int32)
+
+
 def systematic_indices(weights: jnp.ndarray, key) -> jnp.ndarray:
     """Systematic resampling (single uniform); cheaper collective, offered as
     an alternative to stratified for large ensembles."""

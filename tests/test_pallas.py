@@ -79,6 +79,83 @@ def test_unbatched_call_falls_back(rng):
     np.testing.assert_allclose(np.asarray(l0), np.asarray(l1))
 
 
+def _ng_batch(rng, n, batch, m2=True, family="poisson"):
+    import jax.numpy as jnp
+    from bssm_tpu.core.priors import halfnormal_prior, uniform_prior
+    from bssm_tpu.inference import approx as amod
+    from bssm_tpu.models.bsm import bsm_ng
+    from bssm_tpu.models.svm import svm as svm_model
+    if family == "svm":
+        y = rng.normal(0, 1, n) * np.exp(0.3 * np.sin(np.arange(n) / 5))
+        model = svm_model(y, rho=uniform_prior(0.9, -0.999, 0.999),
+                          sd_ar=halfnormal_prior(0.3, 1.0),
+                          sigma=halfnormal_prior(1.0, 2.0),
+                          dtype=jnp.float32)
+        thetas = jnp.asarray(np.stack(
+            [rng.normal([0.9, -1.2, 0.0], 0.05) for _ in range(batch)]),
+            jnp.float32)
+    else:
+        y = rng.poisson(
+            np.exp(np.cumsum(rng.normal(0, .1, n)))).astype(float)
+        y[n // 3] = np.nan
+        kw = dict(sd_level=halfnormal_prior(0.1, 1),
+                  distribution=family, dtype=jnp.float32)
+        if m2:
+            kw["sd_slope"] = halfnormal_prior(0.01, 0.1)
+        model = bsm_ng(y, **kw)
+        d = 2 if m2 else 1
+        thetas = jnp.asarray(rng.normal(-2.5, .2, (batch, d)), jnp.float32)
+
+    def make_al(theta):
+        spec = model.build(theta)
+        al = amod.approx_loglik(spec)
+        z = jnp.zeros((), jnp.float32)
+        return spec, amod.ApproxLoglik(al.approx, al.scales, z, z)
+
+    return jax.vmap(make_al)(thetas)
+
+
+@pytest.mark.parametrize("family,m2", [("poisson", True), ("poisson", False),
+                                       ("negative binomial", True),
+                                       ("svm", False)])
+def test_psi_kernel_matches_scan(rng, family, m2):
+    """The fused psi-APF log-weight kernel must agree with the scan
+    implementation given identical injected randomness."""
+    from bssm_tpu.inference import particle as pf
+    from bssm_tpu.ops.pallas_kalman import fused_psi_logw_batched
+    n, B, N = 37, 5, 10
+    old = config.fused_kernels
+    try:
+        config.set_fused_kernels(True)   # same factors on both paths
+        specs, als = _ng_batch(rng, n, B, m2=m2, family=family)
+        m = specs.a1.shape[-1]
+        eps = jax.random.normal(jax.random.PRNGKey(1), (B, n + 1, N, m),
+                                jnp.float32)
+        us = jax.random.uniform(jax.random.PRNGKey(2), (B, n, N),
+                                jnp.float32)
+        ref = jax.vmap(pf.psi_logw_scan)(specs, als, eps, us)
+        out = fused_psi_logw_batched(specs, als, eps, us, B, interpret=True)
+        assert out is not None
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+    finally:
+        config.set_fused_kernels(old)
+
+
+def test_psi_logw_estimates_match_psi_filter(rng):
+    """psi_logw (pre-generated randomness) and psi_filter (per-step keys)
+    estimate the same log-likelihood within MC error at larger N."""
+    from bssm_tpu.inference import particle as pf
+    specs, als = _ng_batch(rng, 31, 1)
+    spec = jax.tree_util.tree_map(lambda a: a[0], specs)
+    al = jax.tree_util.tree_map(lambda a: a[0], als)
+    keys = jax.random.split(jax.random.PRNGKey(0), 24)
+    a = np.mean([float(pf.psi_logw(spec, al, 64, k)) for k in keys[:12]])
+    b = np.mean([float(pf.psi_filter(spec, al, 64, k).loglik)
+                 for k in keys[12:]])
+    assert abs(a - b) < 0.05
+
+
 def test_unsupported_shapes_return_none(rng):
     # time-varying T is outside the kernel contract
     spec = _batched_spec(rng, 12, 2, 2)
