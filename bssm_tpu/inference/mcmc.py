@@ -256,7 +256,11 @@ def _gaussian_chain(model: Model, n_iter, burnin, thin, target, gamma,
     from ..ops import kalman, kalman_mv
 
     mv = model.kind == "mlg"
-    _loglik = kalman_mv.log_likelihood_mv if mv else kalman.log_likelihood
+    if mv:
+        _loglik = kalman_mv.log_likelihood_mv
+    else:
+        from ..ops.pallas_kalman import log_likelihood_auto
+        _loglik = log_likelihood_auto
     _smoother = kalman_mv.smoother_mv if mv else kalman.smoother
 
     def _draw_states(spec, k):

@@ -219,6 +219,104 @@ def _kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
     jax.lax.fori_loop(0, n, bwd, r0)
 
 
+def _ll_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
+               a1_ref, p1_ref, c_ref, ll_ref, v_s, f_s, ok_s, k_s, at_s,
+               pt_s):
+    """Forward-only variant: the Kalman log-likelihood without the backward
+    pass — the whole target of linear-Gaussian marginal MCMC
+    (`/root/reference/src/model_ssm_ulg.cpp:106-138`)."""
+    Z, T, RR, Cv, a0, P0 = _load_system(m, z_ref, t_ref, rr_ref, a1_ref,
+                                        p1_ref, c_ref)
+    _, _, ll = _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv,
+                               a0, P0, v_s, f_s, ok_s, k_s, at_s, pt_s)
+    ll_ref[0, :] = ll
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "interpret"))
+def _fused_ll_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, interpret=False):
+    Cn = y.shape[0]
+    dt = y.dtype
+    mm = m * m
+
+    def lanes_last(x, rows):
+        return jnp.swapaxes(x.reshape(Cn, rows), 0, 1)
+
+    args = (lanes_last(y, n), lanes_last(h2, n), lanes_last(d, n),
+            lanes_last(z, m), lanes_last(t, mm), lanes_last(rr, mm),
+            lanes_last(a1, m), lanes_last(p1, mm), lanes_last(c, m))
+    grid = (Cn // LANES,)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [spec(n), spec(n), spec(n), spec(m), spec(mm), spec(mm),
+                spec(m), spec(mm), spec(m)]
+    scratch = [
+        pltpu.VMEM((n, LANES), dt),
+        pltpu.VMEM((n, LANES), dt),
+        pltpu.VMEM((n, LANES), dt),
+        pltpu.VMEM((n * m, LANES), dt),
+        pltpu.VMEM(((n + 1) * m, LANES), dt),
+        pltpu.VMEM(((n + 1) * mm, LANES), dt),
+    ]
+    ll = pl.pallas_call(
+        functools.partial(_ll_kernel, n, m),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=spec(1),
+        out_shape=jax.ShapeDtypeStruct((1, Cn), dt),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    return ll[0]
+
+
+def fused_log_likelihood_batched(spec, axis_size, interpret=False):
+    """Batched Kalman log-likelihood via the forward-only kernel, or None."""
+    prep = _batched_inputs(spec, axis_size)
+    if prep is None:
+        return None
+    y, h2, d, z, t, rr, a1, p1, c, n, m = prep
+    B = y.shape[0]
+    pad = (-B) % LANES
+    if pad:
+        def padc(x):
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+        y, h2, d, z, t, rr, a1, p1, c = map(
+            padc, (y, h2, d, z, t, rr, a1, p1, c))
+    ll = _fused_ll_call(y, h2, d, z, t, rr, a1, p1, c, n=n, m=m,
+                        interpret=interpret)
+    if pad:
+        ll = ll[:B]
+    degenerate = (jnp.sum(h2[:B], axis=-1)
+                  + jnp.sum(jnp.abs(rr[:B]), axis=(-1, -2))) < ZERO_TOL
+    return jnp.where(degenerate, -jnp.inf, ll)
+
+
+@jax.custom_batching.custom_vmap
+def log_likelihood_auto(spec):
+    """`ops.kalman.log_likelihood` with fused-kernel batching — the target
+    density of vmapped linear-Gaussian RAM chains."""
+    from . import kalman
+    return kalman.log_likelihood(spec)
+
+
+@log_likelihood_auto.def_vmap
+def _log_likelihood_vmap(axis_size, in_batched, spec):
+    from ..core import config as _config
+    from . import kalman
+    (spec_batched,) = in_batched
+    if _config.use_fused():
+        out = fused_log_likelihood_batched(spec, axis_size,
+                                           interpret=_interpret_mode())
+        if out is not None:
+            return out, True
+    axes = jax.tree_util.tree_map(lambda b: 0 if b else None, spec_batched)
+    return jax.vmap(kalman.log_likelihood, in_axes=(axes,))(spec), True
+
+
 @functools.partial(jax.jit, static_argnames=("n", "m", "interpret"))
 def _fused_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, interpret=False):
     """y/h2/d: (C, n); z/c/a1: (C, m); t/rr/p1: (C, m, m).  C % LANES == 0.

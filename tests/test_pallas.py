@@ -70,6 +70,16 @@ def test_custom_vmap_dispatch(rng):
                                rtol=3e-4, atol=3e-4)
 
 
+def test_ll_only_kernel_matches_scan(rng):
+    from bssm_tpu.ops.pallas_kalman import fused_log_likelihood_batched
+    spec = _batched_spec(rng, 29, 2, 7)
+    ref = jax.vmap(kalman.log_likelihood)(spec)
+    ll = fused_log_likelihood_batched(spec, 7, interpret=True)
+    assert ll is not None
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ref),
+                               rtol=2e-5, atol=1e-5)
+
+
 def test_unbatched_call_falls_back(rng):
     spec = _batched_spec(rng, 31, 2, 1)
     single = jax.tree_util.tree_map(lambda a: a[0], spec)
