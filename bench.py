@@ -4,7 +4,11 @@ Baseline (BASELINE.md): the reference runs 20k IS2 iterations with 10
 psi-APF particles on the airquality bsm_ng in 7.71 s single-thread CPU
 => 2594 samples/s.  Here the same statistical workload (n=153-length series,
 10-particle psi-APF correction, RAM adaptive chains) runs as vmapped chains
-on one TPU chip; samples/s = chains * iters / wall-time (post-compile).
+on one TPU chip — phase 1 through the fused chains-in-lanes Laplace/Kalman
+Pallas kernel, phase 2 (one psi-APF correction per jump-chain head) through
+the fused RTS-factor + psi-filter kernels.  samples/s = chains * iters /
+wall-time (post-compile; the persistent XLA cache under .xla_cache makes
+re-runs skip compilation entirely).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -17,9 +21,11 @@ import time
 import numpy as np
 
 BASELINE_SAMPLES_PER_S = 20000 / 7.71
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".xla_cache")
 
 
-def _probe_device(timeout_s: int = 180) -> bool:
+def _probe_device(timeout_s: int = 240) -> bool:
     """Check the accelerator responds; otherwise fall back to CPU so the
     bench always emits a result line."""
     code = ("import jax, jax.numpy as jnp;"
@@ -40,6 +46,8 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from bssm_tpu.core.priors import halfnormal_prior
@@ -56,25 +64,28 @@ def main():
                    sd_slope=halfnormal_prior(0.01, 0.1),
                    distribution="poisson", dtype=jnp.float32)
 
-    n_chains = 128
+    on_cpu = jax.default_backend() == "cpu"
+    n_chains = int(os.environ.get("BSSM_BENCH_CHAINS",
+                                  "128" if on_cpu else "1024"))
     iters = 1000
     particles = 10
 
     def run(seed):
         return run_mcmc(model, iter=iters, particles=particles,
                         mcmc_type="is2", n_chains=n_chains, seed=seed,
-                        output_type="theta", corr_batch=512)
+                        output_type="theta", corr_batch=2048,
+                        store_modes=False)
 
     # the tunnel to the device occasionally drops mid-run; retry a few times
     out = None
     for attempt in range(3):
         try:
-            run(0)              # compile warm-up (cached for same shapes)
+            run(0)              # compile warm-up (persistent-cached)
             t0 = time.time()
             out = run(1)
             elapsed = time.time() - t0
             break
-        except Exception as e:
+        except Exception:
             if attempt == 2:
                 raise
             time.sleep(30)

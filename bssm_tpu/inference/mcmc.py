@@ -630,8 +630,7 @@ def _is_correction_flat(model: Model, thetas, modes, key, nsim,
                           batch_size=bs)
         return out
 
-    from ..parallel.mesh import flat_sharding
-    sh = flat_sharding(mesh)
+    from jax.sharding import PartitionSpec as _P
     n_dev = mesh.devices.size
     B = max(batch_size // n_dev, 1) * n_dev
     pad = (-Ns) % B
@@ -640,13 +639,22 @@ def _is_correction_flat(model: Model, thetas, modes, key, nsim,
         modes = jnp.concatenate([modes, modes[:pad]])
         keys = jnp.concatenate([keys, keys[:pad]])
     nch = thetas.shape[0] // B
+    flat_axes = _P(mesh.axis_names)
+
+    # shard_map (not sharding constraints): each device runs the vmapped
+    # correction — including the fused Pallas kernels, which XLA's SPMD
+    # partitioner cannot split as opaque calls — on its local B/n_dev rows;
+    # no cross-device communication is needed (draws are independent).
+    from jax.experimental.shard_map import shard_map
+
+    local = shard_map(
+        jax.vmap(lambda t, m, k: correct_one((t, m, k))),
+        mesh=mesh, in_specs=(flat_axes, flat_axes, flat_axes),
+        out_specs=flat_axes, check_rep=False)
 
     def chunk(_, xs):
         th, mo, ke = xs
-        th = jax.lax.with_sharding_constraint(th, sh)
-        mo = jax.lax.with_sharding_constraint(mo, sh)
-        out = jax.vmap(lambda t, m, k: correct_one((t, m, k)))(th, mo, ke)
-        return None, out
+        return None, local(th, mo, ke)
 
     def resh(a):
         return a.reshape((nch, B) + a.shape[1:])
