@@ -1,6 +1,8 @@
 import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import time, json
 import numpy as np
+"""Single-config TPU probe: run the flagship IS-MCMC workload at a given
+chain count and print phase timings.  Usage: python benchmarks/probe_chains.py [chains]."""
 import jax, jax.numpy as jnp
 from bssm_tpu.core.priors import halfnormal_prior
 from bssm_tpu.models.bsm import bsm_ng

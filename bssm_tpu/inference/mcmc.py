@@ -220,6 +220,74 @@ class McmcOutput:
             return pd.concat(recs, ignore_index=True)
         raise ValueError(variable)
 
+    def __str__(self) -> str:
+        """Basic run summary, mirroring `print.mcmc_output`
+        (`/root/reference/R/print_mcmc.R:15-49`)."""
+        from ..diagnostics.summary import summary as _summary
+        lines = [f"Iterations = {self.burnin + 1}:{self.iter}",
+                 f"Thinning interval = {self.thin}",
+                 f"MCMC type = {self.mcmc_type} "
+                 f"({self.posterior.shape[0]} chains x "
+                 f"{self.posterior.shape[1]} stored draws)",
+                 "",
+                 "Acceptance rate after the burn-in period: "
+                 f"{self.acceptance_rate:.3f}", "", "Summary for theta:"]
+        for row in _summary(self, variable="theta", return_se=True):
+            lines.append(
+                "  {variable}: mean {Mean:.4g} sd {SD:.4g} se {SE:.3g} "
+                "ess {ESS:.0f}".format(**row))
+        if self.alphahat is not None:
+            n = self.alphahat.shape[0] - 1
+            mean = np.atleast_1d(self.alphahat[n])
+            sd = np.sqrt(np.atleast_1d(np.diag(np.atleast_2d(self.Vt[n]))))
+            lines.append(f"\nSummary for alpha_{n + 1}:")
+            for j, (mu, s) in enumerate(zip(mean, sd)):
+                lines.append(f"  state_{j + 1}: mean {mu:.4g} sd {s:.4g}")
+        elif self.alpha is not None:
+            n = self.alpha.shape[2] - 1
+            w = self.flat_weights()
+            a = self.alpha.reshape((-1,) + self.alpha.shape[2:])[:, n, :]
+            sw = w.sum()
+            mean = (w[:, None] * a).sum(0) / sw
+            sd = np.sqrt((w[:, None] * (a - mean) ** 2).sum(0) / sw)
+            lines.append(f"\nSummary for alpha_{n + 1}:")
+            for j in range(a.shape[1]):
+                lines.append(
+                    f"  state_{j + 1}: mean {mean[j]:.4g} sd {sd[j]:.4g}")
+        else:
+            lines.append("\nNo posterior samples for states available.")
+        if self.time:
+            lines.append("\nRun time (s): " + ", ".join(
+                f"{k} {v:.2f}" for k, v in self.time.items()))
+        return "\n".join(lines)
+
+    def plot(self, variables=None, bins: int = 40):
+        """Trace + density plots of theta, mirroring `plot.mcmc_output`
+        (`/root/reference/R/plot_mcmc.R:26-41`; bayesplot::mcmc_combo).
+        For IS runs the plots show the approximate (non-weighted) chains,
+        as in the reference.  Returns the matplotlib Figure."""
+        import matplotlib
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+        if self.mcmc_type in ("is1", "is2", "is3"):
+            import warnings
+            warnings.warn("Input is based on a IS-weighted MCMC, the plots "
+                          "correspond to the approximate MCMC.")
+        names = list(variables or self.theta_names)
+        fig, axes = plt.subplots(len(names), 2,
+                                 figsize=(9, 2.2 * len(names)),
+                                 squeeze=False)
+        for r, name in enumerate(names):
+            j = self.theta_names.index(name)
+            for c in range(self.theta.shape[0]):
+                axes[r][0].plot(self.theta[c, :, j], lw=0.5)
+                axes[r][1].hist(self.theta[c, :, j], bins=bins,
+                                histtype="step", density=True)
+            axes[r][0].set_ylabel(name)
+        axes[-1][0].set_xlabel("iteration")
+        fig.tight_layout()
+        return fig
+
     def as_draws(self) -> dict:
         """ArviZ/posterior-style dict: {name: (chains, draws) array},
         mirroring `as_draws_df` (`/root/reference/R/as_draws.R:54`).
