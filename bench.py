@@ -25,17 +25,21 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".xla_cache")
 
 
-def _probe_device(timeout_s: int = 240) -> bool:
-    """Check the accelerator responds; otherwise fall back to CPU so the
-    bench always emits a result line."""
+def _probe_device(timeout_s: int = 150, attempts: int = 3) -> bool:
+    """Check the accelerator responds (in a subprocess, so a hung tunnel
+    can't hang the bench itself); the axon tunnel flaps transiently, so
+    retry before falling back to CPU."""
     code = ("import jax, jax.numpy as jnp;"
             "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
-    try:
-        subprocess.run([sys.executable, "-c", code], check=True,
-                       capture_output=True, timeout=timeout_s)
-        return True
-    except Exception:
-        return False
+    for i in range(attempts):
+        try:
+            subprocess.run([sys.executable, "-c", code], check=True,
+                           capture_output=True, timeout=timeout_s)
+            return True
+        except Exception:
+            if i + 1 < attempts:
+                time.sleep(20)
+    return False
 
 
 def main():
