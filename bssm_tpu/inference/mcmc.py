@@ -739,9 +739,11 @@ def _is_correction_flat(model: Model, thetas, modes, key, nsim,
 # --------------------------------------------------------------------------
 
 def _pf_loglik(model: Model, theta, key, nsim, sampling_method, conv_tol,
-               max_iter, local_approx=True):
+               max_iter, local_approx=True, need_states=True):
     """(exact_ll, approx_ll, sampled trajectory) for one theta
-    (`/root/reference/src/model_ssm_ung.cpp:164-236`)."""
+    (`/root/reference/src/model_ssm_ung.cpp:164-236`).  With
+    ``need_states=False`` the trajectory is a placeholder and the psi path
+    routes through the fused log-weight-only kernel."""
     ops = _family_ops(model, conv_tol, max_iter, local_approx)
     spec = model.build(theta)
     k_pf, k_draw = jax.random.split(key)
@@ -752,6 +754,18 @@ def _pf_loglik(model: Model, theta, key, nsim, sampling_method, conv_tol,
     k_ap, k_pf = jax.random.split(k_pf)
     approx_ll, mode = ops.approx_eval(spec, k_ap)
     if sampling_method == "psi":
+        if not need_states and model.kind == "ng":
+            from . import approx as _amod
+            ar = _amod.approximate_for_is(spec, mode)
+            sc = jnp.where(spec.obs_mask,
+                           _amod.fam.scales(spec.distribution, spec.y,
+                                            spec.u, spec.phi, ar.mode,
+                                            ar.ytilde, ar.Htilde), 0.0)
+            zero = jnp.zeros((), spec.y.dtype)
+            al = _amod.ApproxLoglik(ar, sc, zero, zero)
+            log_corr = pf_mod.psi_logw(spec, al, nsim, k_pf)
+            dummy = jnp.zeros((spec.n + 1, spec.m), spec.y.dtype)
+            return approx_ll + log_corr, approx_ll, dummy
         log_corr, traced, final_w = ops.psi(spec, mode, nsim, k_pf)
         idx = jax.random.categorical(k_draw, jnp.log(final_w + 1e-300))
         return approx_ll + log_corr, approx_ll, traced[idx]
@@ -773,7 +787,7 @@ def _pm_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
     def logdens(theta, key, aux):
         ll, all_, alpha = _pf_loglik(model, theta, key, nsim,
                                      sampling_method, conv_tol, max_iter,
-                                     local_approx)
+                                     local_approx, need_states=store_alpha)
         aux_new = alpha.reshape(-1) if store_alpha else ()
         return ll, all_, aux_new
 
@@ -808,7 +822,8 @@ def _da_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
 
     def full_eval(theta, key):
         return _pf_loglik(model, theta, key, nsim, sampling_method,
-                          conv_tol, max_iter, local_approx)
+                          conv_tol, max_iter, local_approx,
+                          need_states=store_alpha)
 
     def chain(key, theta0, S0):
         key, k0 = jax.random.split(key)
