@@ -68,37 +68,53 @@ def approximate(spec: NGSpec, conv_tol: float = CONV_TOL,
     # (f32 eps ~1e-7); clamp to a resolvable tolerance
     conv_tol = max(conv_tol, 50.0 * float(jnp.finfo(spec.y.dtype).eps))
 
-    def cond(carry):
-        _, _, _, i, diff, _ = carry
-        return (i < max_iter) & (diff > conv_tol)
-
     if _config.time_parallel:
         from ..ops.pkalman import fast_smoother_parallel
 
-        def _fs(g):
-            return fast_smoother_parallel(g), jnp.zeros((), spec.y.dtype)
-        fused_ll = False
-    else:
-        from ..ops.pallas_kalman import fast_smoother_ll_auto
-        _fs = fast_smoother_ll_auto
-        fused_ll = True
+        def cond_tp(carry):
+            _, _, _, i, diff, _ = carry
+            return (i < max_iter) & (diff > conv_tol)
+
+        def body_tp(carry):
+            mode, _, _, i, _, _ = carry
+            yt, H = _one_match(spec, mode)
+            approx = spec.approx_gaussian(yt, H)
+            alpha = fast_smoother_parallel(approx)
+            new_mode = signal_from_states(spec, alpha[:n])
+            diff = jnp.sum(jnp.square(new_mode - mode)) / n
+            return (new_mode, yt, H, i + 1, diff,
+                    jnp.zeros((), spec.y.dtype))
+
+        yt0, H0 = _one_match(spec, mode0)
+        init = (mode0, yt0, H0, jnp.zeros((), jnp.int32),
+                jnp.asarray(conv_tol + 1.0, spec.y.dtype),
+                jnp.zeros((), spec.y.dtype))
+        mode, yt, H, niter, diff, _ = jax.lax.while_loop(cond_tp, body_tp,
+                                                         init)
+        return ApproxResult(mode, yt, H, niter, diff, None)
+
+    # default: one fused kernel call per Laplace step (match + filter +
+    # smoother + signal in ops/pallas_kalman._laplace_step_kernel); the
+    # (ytilde, Htilde) of the final approximation are re-derived from the
+    # penultimate mode afterwards — exactly the pair the last smoother
+    # pass consumed
+    from ..ops.pallas_kalman import laplace_step_auto
+
+    def cond(carry):
+        _, _, i, diff, _ = carry
+        return (i < max_iter) & (diff > conv_tol)
 
     def body(carry):
-        mode, _, _, i, _, _ = carry
-        yt, H = _one_match(spec, mode)
-        approx = spec.approx_gaussian(yt, H)
-        alpha, gll = _fs(approx)
-        new_mode = signal_from_states(spec, alpha[:n])
-        diff = jnp.sum(jnp.square(new_mode - mode)) / n
-        return (new_mode, yt, H, i + 1, diff, gll)
+        mode, _, i, _, _ = carry
+        new_mode, gll, diff = laplace_step_auto(spec, mode)
+        return (new_mode, mode, i + 1, diff, gll)
 
-    yt0, H0 = _one_match(spec, mode0)
-    init = (mode0, yt0, H0, jnp.zeros((), jnp.int32),
+    init = (mode0, mode0, jnp.zeros((), jnp.int32),
             jnp.asarray(conv_tol + 1.0, spec.y.dtype),
             jnp.zeros((), spec.y.dtype))
-    mode, yt, H, niter, diff, gll = jax.lax.while_loop(cond, body, init)
-    return ApproxResult(mode, yt, H, niter, diff,
-                        gll if fused_ll else None)
+    mode, prev, niter, diff, gll = jax.lax.while_loop(cond, body, init)
+    yt, H = _one_match(spec, prev)
+    return ApproxResult(mode, yt, H, niter, diff, gll)
 
 
 def approximate_for_is(spec: NGSpec, stored_mode: jnp.ndarray) -> ApproxResult:

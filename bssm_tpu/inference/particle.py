@@ -21,8 +21,7 @@ import jax.numpy as jnp
 
 from ..core import distributions as fam
 from ..core.spec import LGSpec, NGSpec, SVM
-from ..ops.chol import conditional_cov_factors, psd_chol
-from ..ops.kalman import smoother as kalman_smoother
+from ..ops.chol import psd_chol
 from ..ops.resample import stratified_indices
 from .approx import ApproxLoglik
 

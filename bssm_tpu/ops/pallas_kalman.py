@@ -66,19 +66,26 @@ def _load_system(m, z_ref, t_ref, rr_ref, a1_ref, p1_ref, c_ref):
 
 
 def _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv, a0, P0,
-                    v_s, f_s, ok_s, k_s, at_s, pt_s):
+                    v_s, f_s, ok_s, k_s, at_s, pt_s, get_obs=None):
     """Masked Joseph-form Kalman forward pass, staging per-time stats into
     VMEM scratch.  Returns (a_n, P_n, ll) lane vectors; shared by the
-    fast-smoother and RTS kernels."""
-    dt = y_ref.dtype
+    fast-smoother, loglik, RTS, and Laplace-step kernels.
+
+    ``get_obs(t) -> (y, h2, d)`` overrides reading the observation rows —
+    the Laplace-step kernel computes the pseudo-observations on the fly
+    from the signal mode instead of staging them through HBM."""
+    dt = at_s.dtype
     mm = m * m
     ll0 = jnp.zeros_like(a0[0])
 
     def fwd(t, carry):
         a, P, ll = carry
-        y = y_ref[t, :]
-        h2 = h2_ref[t, :]
-        d = d_ref[t, :]
+        if get_obs is None:
+            y = y_ref[t, :]
+            h2 = h2_ref[t, :]
+            d = d_ref[t, :]
+        else:
+            y, h2, d = get_obs(t)
         # sanitize NaN pseudo-variances at missing y (see ops/kalman._update)
         h2 = jnp.where(jnp.isfinite(h2), h2, 1.0)
         # F = Z' P Z + h2
@@ -405,6 +412,258 @@ def _batched_inputs(spec, axis_size):
 def _interpret_mode() -> bool:
     import jax as _jax
     return _jax.default_backend() not in ("tpu", "axon")
+
+
+# ---------------------------------------------------------------------------
+# fused Laplace iteration step
+# ---------------------------------------------------------------------------
+# One body of the mode-matching loop (`/root/reference/src/model_ssm_ung.cpp:
+# 87-140`): build pseudo-observations from the current signal mode, Kalman
+# filter + fast-smooth the approximating model, and emit the new mode and
+# mean-squared change — all in one kernel, no (ytilde, Htilde) HBM staging.
+
+_SVM_CODE = 0  # must match core.spec codes
+_GAUSSIAN = 5
+
+
+def _lane_laplace_match(dist, y, u, phi, s):
+    """(ytilde, HHtilde) on lane vectors; mirrors
+    core.distributions.laplace_match (NaN y propagates to ytilde)."""
+    if dist == _SVM:
+        ys = jnp.where(jnp.abs(y) < 1e-4, 1e-4, y)
+        hh = 2.0 * _lane_safe_exp(s) / jnp.square(ys / phi)
+        yt = s + 1.0 - 0.5 * hh
+    elif dist == _POISSON:
+        hh = 1.0 / (_lane_safe_exp(s) * u)
+        yt = y * hh + s - 1.0
+    elif dist == _BINOMIAL:
+        es = _lane_safe_exp(s)
+        hh = jnp.square(1.0 + es) / (u * es)
+        yt = y * hh + s - 1.0 - es
+    elif dist == _NEGBIN:
+        eu = _lane_safe_exp(s) * u
+        hh = jnp.square(phi + eu) / (phi * eu * (y + phi))
+        yt = s + (phi + eu) * (y - eu) / ((y + phi) * eu)
+    elif dist == _GAMMA:
+        eu = _lane_safe_exp(s) * u
+        hh = eu / (y * phi)
+        yt = s - eu / y + 1.0
+    else:
+        raise ValueError(f"laplace kernel: unsupported family {dist}")
+    return yt, hh
+
+
+def _laplace_step_kernel(n: int, m: int, dist: int,
+                         y_ref, u_ref, d_ref, z_ref, t_ref, rr_ref,
+                         a1_ref, p1_ref, c_ref, phi_ref, mode_ref,
+                         mode_out_ref, ll_ref, diff_ref,
+                         v_s, f_s, ok_s, k_s, at_s, pt_s):
+    """mode -> (new mode, KF loglik at match(mode), mean-squared change)."""
+    mm = m * m
+    Z, T, RR, Cv, a0, P0 = _load_system(m, z_ref, t_ref, rr_ref, a1_ref,
+                                        p1_ref, c_ref)
+    phi = phi_ref[0, :]
+
+    def get_obs(t):
+        y = y_ref[t, :]
+        u = u_ref[t, :]
+        s = mode_ref[t, :]
+        yt, hh = _lane_laplace_match(dist, y, u, phi, s)
+        hh = jnp.where(jnp.isfinite(hh) & (hh > 0), hh, 1.0)
+        yt = jnp.where(jnp.isfinite(y), yt, jnp.nan)
+        return yt, hh, d_ref[t, :]
+
+    a_n, P_n, ll = _forward_filter(n, m, None, None, None, Z, T, RR, Cv,
+                                   a0, P0, v_s, f_s, ok_s, k_s, at_s, pt_s,
+                                   get_obs=get_obs)
+    ll_ref[0, :] = ll
+
+    r0 = [jnp.zeros_like(ll) for _ in range(m)]
+    dacc0 = jnp.zeros_like(ll)
+
+    def bwd(i, carry):
+        r, dacc = carry
+        t = n - 1 - i
+        v = v_s[t, :]
+        F = f_s[t, :]
+        okf = ok_s[t, :]
+        K = [k_s[t * m + i2, :] for i2 in range(m)]
+        TK = []
+        for i2 in range(m):
+            s = jnp.zeros_like(F)
+            for l in range(m):
+                s = s + T[i2][l] * K[l]
+            TK.append(s)
+        Ttr, Ltr = [], []
+        for j in range(m):
+            st = jnp.zeros_like(F)
+            sl = jnp.zeros_like(F)
+            for i2 in range(m):
+                st = st + T[i2][j] * r[i2]
+                sl = sl + (T[i2][j] - TK[i2] * Z[j]) * r[i2]
+            Ttr.append(st)
+            Ltr.append(sl)
+        r_new = [okf * (Z[j] * (v / F) + Ltr[j]) + (1.0 - okf) * Ttr[j]
+                 for j in range(m)]
+        alpha_t = []
+        for i2 in range(m):
+            s = at_s[t * m + i2, :]
+            for j in range(m):
+                s = s + pt_s[t * mm + i2 * m + j, :] * r_new[j]
+            alpha_t.append(s)
+        if dist == _SVM:
+            new_mode = alpha_t[0]
+        else:
+            new_mode = d_ref[t, :]
+            for i2 in range(m):
+                new_mode = new_mode + Z[i2] * alpha_t[i2]
+        mode_out_ref[t, :] = new_mode
+        delta = new_mode - mode_ref[t, :]
+        return r_new, dacc + delta * delta
+
+    _, dacc = jax.lax.fori_loop(0, n, bwd, (r0, dacc0))
+    diff_ref[0, :] = dacc / n
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "dist", "interpret"))
+def _fused_laplace_call(y, u, d, z, t, rr, a1, p1, c, phi, mode, *,
+                        n, m, dist, interpret=False):
+    Cn = y.shape[0]
+    dt = y.dtype
+    mm = m * m
+
+    def lanes_last(x, rows):
+        return jnp.swapaxes(x.reshape(Cn, rows), 0, 1)
+
+    args = (lanes_last(y, n), lanes_last(u, n), lanes_last(d, n),
+            lanes_last(z, m), lanes_last(t, mm), lanes_last(rr, mm),
+            lanes_last(a1, m), lanes_last(p1, mm), lanes_last(c, m),
+            lanes_last(phi, 1), lanes_last(mode, n))
+    grid = (Cn // LANES,)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [spec(n), spec(n), spec(n), spec(m), spec(mm), spec(mm),
+                spec(m), spec(mm), spec(m), spec(1), spec(n)]
+    out_specs = (spec(n), spec(1), spec(1))
+    out_shape = (jax.ShapeDtypeStruct((n, Cn), dt),
+                 jax.ShapeDtypeStruct((1, Cn), dt),
+                 jax.ShapeDtypeStruct((1, Cn), dt))
+    scratch = [
+        pltpu.VMEM((n, LANES), dt),
+        pltpu.VMEM((n, LANES), dt),
+        pltpu.VMEM((n, LANES), dt),
+        pltpu.VMEM((n * m, LANES), dt),
+        pltpu.VMEM(((n + 1) * m, LANES), dt),
+        pltpu.VMEM(((n + 1) * mm, LANES), dt),
+    ]
+    mode_out, ll, diff = pl.pallas_call(
+        functools.partial(_laplace_step_kernel, n, m, dist),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    return jnp.swapaxes(mode_out, 0, 1), ll[0], diff[0]
+
+
+def fused_laplace_step_batched(spec, mode, axis_size, interpret=False):
+    """Batched Laplace-iteration body.  ``spec`` an NGSpec (leaves possibly
+    batched), mode (B, n).  Returns (mode_new, ll, diff) or None."""
+    n = spec.y.shape[-1]
+    m = spec.a1.shape[-1]
+    if not _supported(n, m):
+        return None
+    if spec.distribution not in (_SVM, _POISSON, _BINOMIAL, _NEGBIN,
+                                 _GAMMA):
+        return None
+    if spec.Z.shape[-2] != 1 or spec.T.shape[-3] != 1 or \
+            spec.R.shape[-3] != 1 or spec.C.shape[-2] != 1:
+        return None
+    mode = jnp.asarray(mode)
+    if mode.ndim == 1:
+        mode = jnp.broadcast_to(mode, (axis_size, n))
+    B = mode.shape[0]
+    dt = mode.dtype
+
+    def dense(x, core_ndim):
+        x = jnp.asarray(x, dt)
+        if x.ndim == core_ndim:
+            x = jnp.broadcast_to(x, (B,) + x.shape)
+        return x
+
+    y = dense(spec.y, 1)
+    u = dense(spec.u, 1)
+    D = dense(spec.D, 1)
+    if D.shape[-1] == 1:
+        D = jnp.broadcast_to(D, (B, n))
+    Z = dense(spec.Z, 2)[:, 0]
+    T = dense(spec.T, 3)[:, 0]
+    R = dense(spec.R, 3)[:, 0]
+    RR = jnp.einsum('cij,ckj->cik', R, R)
+    a1 = dense(spec.a1, 1)
+    P1 = dense(spec.P1, 2)
+    C = dense(spec.C, 2)[:, 0]
+    phi_arr = jnp.asarray(spec.phi, dt)
+    phi = jnp.full((B, 1), phi_arr, dt) if phi_arr.ndim == 0 \
+        else phi_arr.reshape(B, 1)
+    pad = (-B) % LANES
+    arrays = [y, u, D, Z, T, RR, a1, P1, C, phi, mode]
+    if pad:
+        def padc(x):
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+        arrays = [padc(x) for x in arrays]
+    y, u, D, Z, T, RR, a1, P1, C, phi, mode_p = arrays
+    mode_new, ll, diff = _fused_laplace_call(
+        y, u, D, Z, T, RR, a1, P1, C, phi, mode_p, n=n, m=m,
+        dist=spec.distribution, interpret=interpret)
+    if pad:
+        mode_new, ll, diff = mode_new[:B], ll[:B], diff[:B]
+    return mode_new, ll, diff
+
+
+def _laplace_step_base(spec, mode):
+    from ..core import distributions as fam
+    from ..inference.approx import signal_from_states
+    from . import kalman
+    n = spec.y.shape[-1]
+    yt, hh = fam.laplace_match(spec.distribution, spec.y, spec.u, spec.phi,
+                               mode)
+    H = jnp.sqrt(jnp.where(jnp.isfinite(hh) & (hh > 0), hh, 1.0))
+    yt = jnp.where(spec.obs_mask, yt, jnp.nan)
+    g = spec.approx_gaussian(yt, H)
+    alpha, ll = kalman.fast_smoother_ll(g)
+    new_mode = signal_from_states(spec, alpha[:n])
+    diff = jnp.sum(jnp.square(new_mode - mode)) / n
+    return new_mode, ll, diff
+
+
+@jax.custom_batching.custom_vmap
+def laplace_step_auto(spec, mode):
+    """One Laplace-iteration body: (new mode, KF loglik of the approximating
+    model at match(mode), mean-squared signal change).  Batched calls fuse
+    match + filter + smoother + signal into one kernel."""
+    return _laplace_step_base(spec, mode)
+
+
+@laplace_step_auto.def_vmap
+def _laplace_step_vmap(axis_size, in_batched, spec, mode):
+    from ..core import config as _config
+    if _config.use_fused():
+        out = fused_laplace_step_batched(spec, mode, axis_size,
+                                         interpret=_interpret_mode())
+        if out is not None:
+            return out, (True, True, True)
+    spec_b, mode_b = in_batched
+    axes = (jax.tree_util.tree_map(lambda b: 0 if b else None, spec_b),
+            0 if mode_b else None)
+    out = jax.vmap(_laplace_step_base, in_axes=axes)(spec, mode)
+    return out, (True, True, True)
 
 
 # ---------------------------------------------------------------------------

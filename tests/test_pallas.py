@@ -152,6 +152,43 @@ def test_psi_kernel_matches_scan(rng, family, m2):
         config.set_fused_kernels(old)
 
 
+@pytest.mark.parametrize("family", ["poisson", "binomial", "gamma"])
+def test_laplace_step_kernel_matches_scan(rng, family):
+    """The fused Laplace-step kernel (in-kernel pseudo-obs matching) must
+    reproduce approx_loglik through the full while_loop."""
+    import jax.numpy as jnp
+    from bssm_tpu.core.priors import halfnormal_prior
+    from bssm_tpu.inference import approx as amod
+    from bssm_tpu.models.bsm import bsm_ng
+    n = 43
+    lam = np.exp(np.cumsum(rng.normal(0, .1, n)))
+    if family == "poisson":
+        y = rng.poisson(lam).astype(float)
+        kw = {}
+    elif family == "binomial":
+        y = rng.binomial(20, 1 / (1 + np.exp(-np.log(lam)))).astype(float)
+        kw = {"u": np.full(n, 20.0)}
+    else:
+        y = rng.gamma(2.0, lam / 2.0) + 1e-3
+        kw = {"phi": 2.0}
+    y[n // 4] = np.nan
+    model = bsm_ng(y, sd_level=halfnormal_prior(0.1, 1),
+                   distribution=family, dtype=jnp.float32, **kw)
+    thetas = jnp.asarray(rng.normal(-2.3, .2, (3, 1)), jnp.float32)
+    old = config.fused_kernels
+    try:
+        config.set_fused_kernels(True)
+        lf = jax.vmap(lambda t: amod.approx_loglik(model.build(t)).loglik)(
+            thetas)
+        config.set_fused_kernels(False)
+        ls = jax.vmap(lambda t: amod.approx_loglik(model.build(t)).loglik)(
+            thetas)
+    finally:
+        config.set_fused_kernels(old)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(ls),
+                               rtol=5e-5, atol=5e-4)
+
+
 def test_psi_logw_estimates_match_psi_filter(rng):
     """psi_logw (pre-generated randomness) and psi_filter (per-step keys)
     estimate the same log-likelihood within MC error at larger N."""
