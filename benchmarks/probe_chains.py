@@ -3,7 +3,10 @@ import time, json
 import numpy as np
 """Single-config TPU probe: run the flagship IS-MCMC workload at a given
 chain count and print phase timings.  Usage: python benchmarks/probe_chains.py [chains]."""
-import jax, jax.numpy as jnp
+import jax
+jax.config.update("jax_compilation_cache_dir", str(pathlib.Path(__file__).resolve().parents[1] / ".xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+import jax.numpy as jnp
 from bssm_tpu.core.priors import halfnormal_prior
 from bssm_tpu.models.bsm import bsm_ng
 from bssm_tpu.inference.mcmc import run_mcmc

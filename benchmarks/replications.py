@@ -8,6 +8,8 @@ weighted means, asymptotic-variance SEs, IACT, times and acceptance rates.
 Usage:  python benchmarks/replications.py [--iter 10000] [--chains 4]
 """
 from __future__ import annotations
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
 
 import argparse
 import json

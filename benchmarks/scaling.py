@@ -11,6 +11,8 @@ Usage: python benchmarks/scaling.py [--chains 4 16 64] [--iter 1000]
 Emits one JSON line per configuration plus a final summary line.
 """
 from __future__ import annotations
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
 
 import argparse
 import json

@@ -61,7 +61,11 @@ def post_correct(model: Model, output: McmcOutput, particles: int,
     alpha_new = np.asarray(alpha_flat).reshape((C, Sn) + n1m)
 
     out = copy.copy(output)
-    out.weights = np.exp(log_w)
+    # non-finite corrections -> zero weight; store max-shifted (IS averages
+    # are scale-invariant, exp never overflows), as in run_mcmc
+    log_w = np.where(np.isfinite(log_w), log_w, -np.inf)
+    shift = np.max(log_w[np.isfinite(log_w)], initial=0.0)
+    out.weights = np.exp(log_w - shift)
     out.posterior = (output.prior if output.prior is not None else 0.0) \
         + (output.approx_loglik if output.approx_loglik is not None
            else 0.0) + log_w
