@@ -70,7 +70,7 @@ def main():
 
     on_cpu = jax.default_backend() == "cpu"
     n_chains = int(os.environ.get("BSSM_BENCH_CHAINS",
-                                  "128" if on_cpu else "1024"))
+                                  "128" if on_cpu else "2048"))
     iters = 1000
     particles = 10
 
