@@ -93,26 +93,16 @@ def approximate(spec: NGSpec, conv_tol: float = CONV_TOL,
                                                          init)
         return ApproxResult(mode, yt, H, niter, diff, None)
 
-    # default: one fused kernel call per Laplace step (match + filter +
-    # smoother + signal in ops/pallas_kalman._laplace_step_kernel); the
+    # default: the whole mode iteration as ONE fused kernel invocation when
+    # batched (ops/pallas_kalman._laplace_solve_kernel — a while_loop of
+    # {match -> filter -> smooth} with 128-lane-block convergence);
+    # unbatched calls run an XLA while_loop over the per-step kernel.  The
     # (ytilde, Htilde) of the final approximation are re-derived from the
     # penultimate mode afterwards — exactly the pair the last smoother
-    # pass consumed
-    from ..ops.pallas_kalman import laplace_step_auto
-
-    def cond(carry):
-        _, _, i, diff, _ = carry
-        return (i < max_iter) & (diff > conv_tol)
-
-    def body(carry):
-        mode, _, i, _, _ = carry
-        new_mode, gll, diff = laplace_step_auto(spec, mode)
-        return (new_mode, mode, i + 1, diff, gll)
-
-    init = (mode0, mode0, jnp.zeros((), jnp.int32),
-            jnp.asarray(conv_tol + 1.0, spec.y.dtype),
-            jnp.zeros((), spec.y.dtype))
-    mode, prev, niter, diff, gll = jax.lax.while_loop(cond, body, init)
+    # pass consumed.
+    from ..ops.pallas_kalman import get_laplace_solver
+    solver = get_laplace_solver(conv_tol, max_iter)
+    mode, prev, niter, diff, gll = solver(spec, mode0)
     yt, H = _one_match(spec, prev)
     return ApproxResult(mode, yt, H, niter, diff, gll)
 

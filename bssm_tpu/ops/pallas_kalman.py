@@ -666,6 +666,276 @@ def _laplace_step_vmap(axis_size, in_batched, spec, mode):
     return out, (True, True, True)
 
 
+def _laplace_solve_kernel(n: int, m: int, dist: int, max_iter: int,
+                          conv_tol: float,
+                          y_ref, u_ref, d_ref, z_ref, t_ref, rr_ref,
+                          a1_ref, p1_ref, c_ref, phi_ref, mode0_ref,
+                          mode_ref, prev_ref, ll_ref, niter_ref, diff_ref,
+                          v_s, f_s, ok_s, k_s, at_s, pt_s):
+    """The ENTIRE Laplace mode iteration in one kernel invocation: a
+    `while_loop` of {match -> filter -> smooth -> new mode} with
+    convergence tested per 128-lane block (the reference iterates one
+    model at a time, `/root/reference/src/model_ssm_ung.cpp:87-140`; the
+    XLA fallback synchronises over the whole batch — block-local stopping
+    only changes modes below conv_tol)."""
+    mm = m * m
+    Z, T, RR, Cv, a0, P0 = _load_system(m, z_ref, t_ref, rr_ref, a1_ref,
+                                        p1_ref, c_ref)
+    phi = phi_ref[0, :]
+    dt = mode0_ref.dtype
+
+    def copy_rows(src, dst):
+        def cp(t, _):
+            dst[t, :] = src[t, :]
+            return 0
+        jax.lax.fori_loop(0, n, cp, 0)
+
+    copy_rows(mode0_ref, mode_ref)
+    copy_rows(mode0_ref, prev_ref)
+
+    def get_obs(t):
+        y = y_ref[t, :]
+        u = u_ref[t, :]
+        s = prev_ref[t, :]
+        yt, hh = _lane_laplace_match(dist, y, u, phi, s)
+        hh = jnp.where(jnp.isfinite(hh) & (hh > 0), hh, 1.0)
+        yt = jnp.where(jnp.isfinite(y), yt, jnp.nan)
+        return yt, hh, d_ref[t, :]
+
+    zero_lane = jnp.zeros((y_ref.shape[-1],), dt)
+
+    def one_step():
+        """prev_ref -> mode_ref; returns (ll, diff) lane vectors."""
+        _, _, ll = _forward_filter(n, m, None, None, None, Z, T, RR, Cv,
+                                   a0, P0, v_s, f_s, ok_s, k_s, at_s, pt_s,
+                                   get_obs=get_obs)
+        r0 = [zero_lane for _ in range(m)]
+
+        def bwd(i, carry):
+            r, dacc = carry
+            t = n - 1 - i
+            v = v_s[t, :]
+            F = f_s[t, :]
+            okf = ok_s[t, :]
+            K = [k_s[t * m + i2, :] for i2 in range(m)]
+            TK = []
+            for i2 in range(m):
+                s = zero_lane
+                for l in range(m):
+                    s = s + T[i2][l] * K[l]
+                TK.append(s)
+            Ttr, Ltr = [], []
+            for j in range(m):
+                st = zero_lane
+                sl = zero_lane
+                for i2 in range(m):
+                    st = st + T[i2][j] * r[i2]
+                    sl = sl + (T[i2][j] - TK[i2] * Z[j]) * r[i2]
+                Ttr.append(st)
+                Ltr.append(sl)
+            r_new = [okf * (Z[j] * (v / F) + Ltr[j]) + (1.0 - okf) * Ttr[j]
+                     for j in range(m)]
+            alpha_t = []
+            for i2 in range(m):
+                s = at_s[t * m + i2, :]
+                for j in range(m):
+                    s = s + pt_s[t * mm + i2 * m + j, :] * r_new[j]
+                alpha_t.append(s)
+            if dist == _SVM:
+                new_mode = alpha_t[0]
+            else:
+                new_mode = d_ref[t, :]
+                for i2 in range(m):
+                    new_mode = new_mode + Z[i2] * alpha_t[i2]
+            mode_ref[t, :] = new_mode
+            delta = new_mode - prev_ref[t, :]
+            return r_new, dacc + delta * delta
+
+        _, dacc = jax.lax.fori_loop(0, n, bwd, (r0, zero_lane))
+        return ll, dacc / n
+
+    def cond(carry):
+        i, diff, _ = carry
+        return (i < max_iter) & (jnp.max(diff) > conv_tol)
+
+    def body(carry):
+        i, _, _ = carry
+        copy_rows(mode_ref, prev_ref)
+        ll, diff = one_step()
+        return i + 1, diff, ll
+
+    init = (jnp.int32(0), jnp.full_like(zero_lane, conv_tol + 1.0),
+            zero_lane)
+    niter, diff, ll = jax.lax.while_loop(cond, body, init)
+    ll_ref[0, :] = ll
+    diff_ref[0, :] = diff
+    niter_ref[0, :] = jnp.full_like(zero_lane, niter.astype(dt))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "dist", "max_iter",
+                                             "conv_tol", "interpret"))
+def _fused_laplace_solve_call(y, u, d, z, t, rr, a1, p1, c, phi, mode0, *,
+                              n, m, dist, max_iter, conv_tol,
+                              interpret=False):
+    Cn = y.shape[0]
+    dt = y.dtype
+    mm = m * m
+
+    def lanes_last(x, rows):
+        return jnp.swapaxes(x.reshape(Cn, rows), 0, 1)
+
+    args = (lanes_last(y, n), lanes_last(u, n), lanes_last(d, n),
+            lanes_last(z, m), lanes_last(t, mm), lanes_last(rr, mm),
+            lanes_last(a1, m), lanes_last(p1, mm), lanes_last(c, m),
+            lanes_last(phi, 1), lanes_last(mode0, n))
+    grid = (Cn // LANES,)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [spec(n), spec(n), spec(n), spec(m), spec(mm), spec(mm),
+                spec(m), spec(mm), spec(m), spec(1), spec(n)]
+    out_specs = (spec(n), spec(n), spec(1), spec(1), spec(1))
+    out_shape = (jax.ShapeDtypeStruct((n, Cn), dt),
+                 jax.ShapeDtypeStruct((n, Cn), dt),
+                 jax.ShapeDtypeStruct((1, Cn), dt),
+                 jax.ShapeDtypeStruct((1, Cn), dt),
+                 jax.ShapeDtypeStruct((1, Cn), dt))
+    scratch = [
+        pltpu.VMEM((n, LANES), dt),
+        pltpu.VMEM((n, LANES), dt),
+        pltpu.VMEM((n, LANES), dt),
+        pltpu.VMEM((n * m, LANES), dt),
+        pltpu.VMEM(((n + 1) * m, LANES), dt),
+        pltpu.VMEM(((n + 1) * mm, LANES), dt),
+    ]
+    mode, prev, ll, niter, diff = pl.pallas_call(
+        functools.partial(_laplace_solve_kernel, n, m, dist, max_iter,
+                          conv_tol),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    return (jnp.swapaxes(mode, 0, 1), jnp.swapaxes(prev, 0, 1),
+            niter[0].astype(jnp.int32), diff[0], ll[0])
+
+
+def fused_laplace_solve_batched(spec, mode0, conv_tol, max_iter, axis_size,
+                                interpret=False):
+    """Batched full Laplace solve.  Returns (mode, prev, niter, diff, ll)
+    or None if unsupported."""
+    n = spec.y.shape[-1]
+    m = spec.a1.shape[-1]
+    if not _supported(n, m):
+        return None
+    if spec.distribution not in (_SVM, _POISSON, _BINOMIAL, _NEGBIN,
+                                 _GAMMA):
+        return None
+    if spec.Z.shape[-2] != 1 or spec.T.shape[-3] != 1 or \
+            spec.R.shape[-3] != 1 or spec.C.shape[-2] != 1:
+        return None
+    mode0 = jnp.asarray(mode0)
+    if mode0.ndim == 1:
+        mode0 = jnp.broadcast_to(mode0, (axis_size, n))
+    B = mode0.shape[0]
+    dt = mode0.dtype
+
+    def dense(x, core_ndim):
+        x = jnp.asarray(x, dt)
+        if x.ndim == core_ndim:
+            x = jnp.broadcast_to(x, (B,) + x.shape)
+        return x
+
+    y = dense(spec.y, 1)
+    u = dense(spec.u, 1)
+    D = dense(spec.D, 1)
+    if D.shape[-1] == 1:
+        D = jnp.broadcast_to(D, (B, n))
+    Z = dense(spec.Z, 2)[:, 0]
+    T = dense(spec.T, 3)[:, 0]
+    R = dense(spec.R, 3)[:, 0]
+    RR = jnp.einsum('cij,ckj->cik', R, R)
+    a1 = dense(spec.a1, 1)
+    P1 = dense(spec.P1, 2)
+    C = dense(spec.C, 2)[:, 0]
+    phi_arr = jnp.asarray(spec.phi, dt)
+    phi = jnp.full((B, 1), phi_arr, dt) if phi_arr.ndim == 0 \
+        else phi_arr.reshape(B, 1)
+    pad = (-B) % LANES
+    arrays = [y, u, D, Z, T, RR, a1, P1, C, phi, mode0]
+    if pad:
+        def padc(x):
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+        arrays = [padc(x) for x in arrays]
+    y, u, D, Z, T, RR, a1, P1, C, phi, mode0p = arrays
+    mode, prev, niter, diff, ll = _fused_laplace_solve_call(
+        y, u, D, Z, T, RR, a1, P1, C, phi, mode0p, n=n, m=m,
+        dist=spec.distribution, max_iter=int(max_iter),
+        conv_tol=float(conv_tol), interpret=interpret)
+    if pad:
+        mode, prev = mode[:B], prev[:B]
+        niter, diff, ll = niter[:B], diff[:B], ll[:B]
+    return mode, prev, niter, diff, ll
+
+
+def _laplace_solve_base(spec, mode0, conv_tol, max_iter):
+    """XLA while_loop over laplace_step_auto — whole-batch convergence."""
+
+    def cond(carry):
+        _, _, i, diff, _ = carry
+        return (i < max_iter) & (diff > conv_tol)
+
+    def body(carry):
+        mode, _, i, _, _ = carry
+        new_mode, gll, diff = laplace_step_auto(spec, mode)
+        return (new_mode, mode, i + 1, diff, gll)
+
+    dt = mode0.dtype
+    init = (mode0, mode0, jnp.zeros((), jnp.int32),
+            jnp.asarray(conv_tol + 1.0, dt), jnp.zeros((), dt))
+    mode, prev, niter, diff, gll = jax.lax.while_loop(cond, body, init)
+    return mode, prev, niter, diff, gll
+
+
+_LAPLACE_SOLVERS: dict = {}
+
+
+def get_laplace_solver(conv_tol: float, max_iter: int):
+    """custom_vmap'd full Laplace solve, cached per (conv_tol, max_iter)."""
+    key = (float(conv_tol), int(max_iter))
+    fn = _LAPLACE_SOLVERS.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.custom_batching.custom_vmap
+    def solve(spec, mode0):
+        return _laplace_solve_base(spec, mode0, key[0], key[1])
+
+    @solve.def_vmap
+    def _solve_vmap(axis_size, in_batched, spec, mode0):
+        from ..core import config as _config
+        if _config.use_fused():
+            out = fused_laplace_solve_batched(spec, mode0, key[0], key[1],
+                                              axis_size,
+                                              interpret=_interpret_mode())
+            if out is not None:
+                return out, (True, True, True, True, True)
+        spec_b, mode_b = in_batched
+        axes = (jax.tree_util.tree_map(lambda b: 0 if b else None, spec_b),
+                0 if mode_b else None)
+        out = jax.vmap(lambda s, m0: _laplace_solve_base(
+            s, m0, key[0], key[1]), in_axes=axes)(spec, mode0)
+        return out, (True, True, True, True, True)
+
+    _LAPLACE_SOLVERS[key] = solve
+    return solve
+
+
 # ---------------------------------------------------------------------------
 # fused RTS smoother + psi-APF conditional proposal factors
 # ---------------------------------------------------------------------------
