@@ -29,7 +29,21 @@ _DIST_NAMES = {"svm": 0, "poisson": 1, "binomial": 2,
 
 def _bsm_structure(slope: bool, seasonal: bool, period: int, noise: bool):
     """Z, T, R masks for the BSM state space
-    (`/root/reference/R/models.R:730-766,1013-1060`)."""
+    (`/root/reference/R/models.R:730-766,1013-1060`).
+
+    Reference quirk replicated: the seasonal row of T is filled with -1
+    through column m-1 inclusive (`R/models.R:1024`: ``T[(2 + slope),
+    (2 + slope):m] <- -1``), so with a noise state the seasonal recursion
+    also subtracts the lagged noise state.  The C++ ``update_model``
+    (`src/model_bsm_ng.cpp:17-51`) never rewrites T, so this is the
+    reference's effective behaviour for every seasonal+noise model and we
+    match it exactly.  Reference quirk NOT replicated: `R/models.R:1056`
+    places the *initial* noise sd at column ``ncol(R)-1`` while
+    ``update_model`` writes column ``2+slope+seasonal`` (1-indexed), leaving
+    a stale copy of the init value in a neighbouring column (a spurious
+    disturbance correlation); here the noise sd lives only in its own
+    column.
+    """
     m = 1 + int(slope) + (period - 1 if seasonal else 0) + int(noise)
     npar_R = 1 + int(slope) + int(seasonal) + int(noise)
     Z = np.zeros(m)
@@ -45,8 +59,7 @@ def _bsm_structure(slope: bool, seasonal: bool, period: int, noise: bool):
         T[1, 1] = 1.0
     if seasonal:
         s0 = 1 + int(slope)
-        sm = s0 + period - 1
-        T[s0, s0:sm] = -1.0
+        T[s0, s0:m] = -1.0      # extends into the noise column, as reference
         for j in range(period - 2):
             T[s0 + 1 + j, s0 + j] = 1.0
     R = np.zeros((m, npar_R))

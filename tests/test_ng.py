@@ -137,3 +137,28 @@ def test_psi_smoother_matches_kalman_smoother(small_poisson):
     # non-Gaussian correction; loose tolerance
     np.testing.assert_allclose(np.asarray(res.alphahat[:-1, 0]),
                                np.asarray(sm.alphahat[:-1, 0]), atol=0.15)
+
+
+def test_bsm_ng_seasonal_noise_T_quirk(rng):
+    """With a noise state, the seasonal T row extends its -1 block into the
+    noise column, replicating `/root/reference/R/models.R:1024` (the C++
+    update_model never rewrites T, so this is the reference's effective
+    dynamic); the model must still filter/approximate finite."""
+    from bssm_tpu.models.bsm import bsm_ng
+    y = rng.poisson(3.0, size=30).astype(float)
+    model = bsm_ng(y, sd_level=halfnormal_prior(0.1, 1),
+                   sd_slope=halfnormal_prior(0.01, 1),
+                   sd_seasonal=halfnormal_prior(0.05, 1),
+                   sd_noise=halfnormal_prior(0.05, 1),
+                   period=4, distribution="poisson")
+    spec = model.build(model.theta_init)
+    m = spec.a1.shape[0]            # 1 + 1 + (4-1) + 1 = 6
+    assert m == 6
+    T = np.asarray(spec.T[0])
+    s0 = 2                          # level, slope, then seasonal rows
+    np.testing.assert_array_equal(T[s0, s0:m], -np.ones(m - s0))
+    # noise sd sits in its own (last) R column only
+    R = np.asarray(spec.R[0])
+    assert R[m - 1, -1] > 0 and np.all(R[m - 1, :-1] == 0)
+    ll = float(approx_mod.approx_loglik(spec).loglik)
+    assert np.isfinite(ll)
