@@ -42,3 +42,14 @@ def test_sharded_is2_correction(rng):
     assert np.all(np.isfinite(out.posterior))
     assert np.all(out.flat_weights() > 0)
     assert out.alphahat is not None and np.all(np.isfinite(out.alphahat))
+
+
+def test_distributed_helpers_single_process():
+    """initialize() is a no-op single-process; global_mesh covers all
+    devices; local_chain_slice owns the whole axis."""
+    from bssm_tpu.parallel.distributed import (global_mesh, initialize,
+                                               local_chain_slice)
+    assert initialize() is False
+    mesh = global_mesh(("chains", "draws"), shape=(4, 2))
+    assert dict(mesh.shape) == {"chains": 4, "draws": 2}
+    assert local_chain_slice(100) == slice(0, 100)
