@@ -141,3 +141,19 @@ def test_exports_and_validation(rng):
                sd_level=halfnormal_prior(0.1, 1),
                sd_seasonal=halfnormal_prior(0.1, 1), period=2,
                distribution="poisson")
+
+
+def test_phase_timer_and_profile_trace():
+    import jax.numpy as jnp
+    from bssm_tpu.diagnostics.profiling import PhaseTimer, profile_trace
+    t = PhaseTimer()
+    with t("a", sync=jnp.ones(4) * 2):
+        pass
+    with t("b"):
+        pass
+    rep = t.report(samples=100)
+    assert set(rep) == {"a", "b", "total", "samples_per_s"}
+    assert rep["total"] >= rep["a"]
+    with profile_trace(None):       # no-op path
+        x = 1
+    assert x == 1
