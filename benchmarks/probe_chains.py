@@ -22,7 +22,7 @@ model = bsm_ng(y.astype(float), sd_level=halfnormal_prior(0.1, 1.0),
 
 import sys
 n_chains = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-iters = 1000
+iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 def run(seed):
     return run_mcmc(model, iter=iters, particles=10,
                     mcmc_type="is2", n_chains=n_chains, seed=seed,
