@@ -23,10 +23,12 @@ model = bsm_ng(y.astype(float), sd_level=halfnormal_prior(0.1, 1.0),
 import sys
 n_chains = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+corr_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
 def run(seed):
     return run_mcmc(model, iter=iters, particles=10,
                     mcmc_type="is2", n_chains=n_chains, seed=seed,
-                    output_type="theta", corr_batch=2048, store_modes=False)
+                    output_type="theta", corr_batch=corr_batch,
+                    store_modes=False)
 t0=time.time(); out = run(0); t_warm = time.time()-t0
 t0=time.time(); out = run(1); t_run = time.time()-t0
 print(json.dumps({"chains": n_chains, "warm_s": round(t_warm,2), "run_s": round(t_run,2),
