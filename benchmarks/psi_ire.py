@@ -1,14 +1,18 @@
 """IRE harness: psi-APF vs BSF vs EKPF log-likelihood efficiency.
 
-Python equivalent of `/root/reference/vignettes/psi_pf.Rmd:107-267`: on the
-nonlinear logistic growth model (n=300), estimate the log-likelihood with
-each particle filter at N in {10, 100, 1000} over `--reps` independent
-replications, and report IRE = MSE x mean-time against a 100k-particle BSF
-reference value.  The reference found the psi-APF IRE "several orders of
-magnitude smaller" than BSF/EKPF at equal N; this harness reproduces that
-ordering (replications run as one vmapped batch per (method, N) cell, so
-"mean time" is wall-time / reps of the batched run — the honest TPU cost
-model, where replications are free parallelism).
+Same experimental design as `/root/reference/vignettes/psi_pf.Rmd:107-267`
+(different constants — shorter horizon, fewer replications, and the filter
+runs at the simulation theta rather than the vignette's modified one, so
+the absolute IRE numbers are NOT directly comparable to the published
+table; the method ORDERING is): on the nonlinear logistic growth model,
+estimate the log-likelihood with each particle filter at N in
+{10, 100, 1000} over `--reps` independent replications, and report
+IRE = MSE x mean-time against a 100k-particle BSF reference value.  The
+reference found the psi-APF IRE "several orders of magnitude smaller" than
+BSF/EKPF at equal N; this harness reproduces that ordering (replications
+run as one vmapped batch per (method, N) cell, so "mean time" is
+wall-time / reps of the batched run — the honest TPU cost model, where
+replications are free parallelism).
 
 Usage: python benchmarks/psi_ire.py [--reps 200] [--n 300] [--ref-N 100000]
 """
@@ -48,17 +52,24 @@ def main():
     model = nlg_growth(np.asarray(y, dtype=float))
     spec = model.build(jnp.asarray(model.theta_init))
 
-    # 100k-particle BSF reference log-likelihood (chunked mean of 10 runs)
+    # ref_N-particle BSF reference log-likelihood, run in 10 memory-bounded
+    # chunks combined on the LIKELIHOOD scale (logsumexp - log 10): the
+    # average of 10 ref_N/10-particle estimators of the likelihood is
+    # exactly one ref_N-particle estimator, so the O(1/N) downward bias of
+    # the log matches a true single ref_N run (averaging the chunk LOGS
+    # would keep 10x that bias)
+    from jax.scipy.special import logsumexp
     ref_lls = []
     for s in range(10):
         ref_lls.append(float(jax.jit(
             lambda k: nlg_mod.bsf_filter_nlg(spec, args.ref_N // 10,
                                              k).loglik)(
             jax.random.PRNGKey(1000 + s))))
-    ref_ll = float(np.mean(ref_lls))
+    ref_ll = float(logsumexp(jnp.asarray(ref_lls)) - np.log(len(ref_lls)))
     print(json.dumps({"reference_loglik": round(ref_ll, 4),
-                      "ref_sd": round(float(np.std(ref_lls)), 4),
-                      "ref_N": args.ref_N}))
+                      "ref_chunk_sd": round(float(np.std(ref_lls)), 4),
+                      "ref_N": args.ref_N,
+                      "ref_chunks": f"10x{args.ref_N // 10}"}))
 
     approx = jax.jit(nlg_mod.approximate_nlg)(spec)
 

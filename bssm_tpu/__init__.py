@@ -31,7 +31,8 @@ from .models.sde import ssm_sde, sde_gbm, sde_poisson_ou
 from .models import examples as example_models
 from .inference.mcmc import run_mcmc, McmcOutput
 from .inference.filters import (kfilter, bootstrap_filter, particle_smoother,
-                                ekf, ukf, ekf_smoother, ekpf_filter)
+                                ekf, ukf, ekf_smoother, ekf_fast_smoother,
+                                ekpf_filter)
 from .inference.smoothers import fast_smoother, smoother, sim_smoother
 from .inference.approx import gaussian_approx
 from .inference.loglik import logLik
@@ -39,5 +40,6 @@ from .inference.importance import importance_sample
 from .inference.predict import predict, fitted
 from .inference.postcorrect import post_correct, suggest_N
 from .diagnostics.summary import (summary, check_diagnostics, iact,
-                                  asymptotic_var, estimate_ess, ess_is, rhat)
+                                  asymptotic_var, estimate_ess, ess_is, rhat,
+                                  ess_bulk, ess_tail, rhat_rank)
 from .parallel.mesh import make_mesh

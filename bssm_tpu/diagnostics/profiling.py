@@ -9,9 +9,12 @@ plus optional XLA/TPU profiler capture for kernel-level analysis.
         out = run_mcmc(model, ...)
 
     timer = PhaseTimer()
-    with timer("mcmc"):
-        ...
-    timer.report(samples=chains * iters)      # adds samples/s
+    with timer("mcmc") as phase:
+        out = run_chains(...)
+        phase.sync(out)                       # block on the result BEFORE
+    timer.report(samples=chains * iters)      # the clock stops (async
+                                              # dispatch would otherwise
+                                              # undercount device time)
 """
 from __future__ import annotations
 
@@ -33,6 +36,18 @@ def profile_trace(logdir: Optional[str] = None):
         yield
 
 
+class _PhaseHandle:
+    """Collects pytrees produced INSIDE a timed block; everything registered
+    via ``.sync(x)`` is block_until_ready'd before the phase clock stops."""
+
+    def __init__(self):
+        self._items = []
+
+    def sync(self, x):
+        self._items.append(x)
+        return x
+
+
 class PhaseTimer:
     """Accumulating named wall-clock phases (device-synchronised)."""
 
@@ -41,15 +56,20 @@ class PhaseTimer:
 
     @contextlib.contextmanager
     def __call__(self, name: str, sync=None):
-        """Time a block; ``sync`` (a pytree of arrays) is block_until_ready'd
-        before the clock stops so async dispatch doesn't hide device time."""
+        """Time a block.  The context yields a handle: call ``handle.sync(
+        out)`` on results produced inside the block (or pass pre-existing
+        arrays as ``sync=``); both are block_until_ready'd before the clock
+        stops so JAX async dispatch doesn't hide device time."""
+        handle = _PhaseHandle()
+        if sync is not None:
+            handle.sync(sync)
         t0 = time.time()
         try:
-            yield
+            yield handle
         finally:
-            if sync is not None:
+            if handle._items:
                 import jax
-                jax.block_until_ready(sync)
+                jax.block_until_ready(handle._items)
             self.phases[name] = self.phases.get(name, 0.0) + time.time() - t0
 
     @property

@@ -60,10 +60,21 @@ def _one_match(spec: NGSpec, mode):
 
 
 def approximate(spec: NGSpec, conv_tol: float = CONV_TOL,
-                max_iter: int = MAX_ITER) -> ApproxResult:
-    """Full Laplace iteration from ``spec.initial_mode``."""
+                max_iter: int = MAX_ITER, mode0=None) -> ApproxResult:
+    """Full Laplace iteration from ``spec.initial_mode``.
+
+    ``mode0`` optionally warm-starts the iteration (e.g. from the previous
+    accepted draw's converged mode inside MCMC).  For the supported
+    exponential families the observation log-density is concave in the
+    signal, so the fixed point is unique and a warm start changes only the
+    iteration count, not the converged mode (up to ``conv_tol``) — the
+    reference always cold-starts from the data-derived mode
+    (`/root/reference/src/model_ssm_ung.cpp:217`)."""
     n = spec.n
-    mode0 = spec.initial_mode.astype(spec.y.dtype)
+    if mode0 is None:
+        mode0 = spec.initial_mode.astype(spec.y.dtype)
+    else:
+        mode0 = mode0.astype(spec.y.dtype)
     # conv_tol below the dtype noise floor would always exhaust max_iter
     # (f32 eps ~1e-7); clamp to a resolvable tolerance
     conv_tol = max(conv_tol, 50.0 * float(jnp.finfo(spec.y.dtype).eps))
@@ -124,12 +135,12 @@ class ApproxLoglik(NamedTuple):
 
 def approx_loglik(spec: NGSpec, approx: ApproxResult | None = None,
                   conv_tol: float = CONV_TOL,
-                  max_iter: int = MAX_ITER) -> ApproxLoglik:
+                  max_iter: int = MAX_ITER, mode0=None) -> ApproxLoglik:
     """Approximate marginal log-likelihood = KF loglik of the approximating
     model + exact constant term + sum of mode-based scales
     (`/root/reference/src/model_ssm_ung.cpp:164-236`)."""
     if approx is None:
-        approx = approximate(spec, conv_tol, max_iter)
+        approx = approximate(spec, conv_tol, max_iter, mode0=mode0)
     if approx.gloglik is not None:
         gll = approx.gloglik
     elif _config.time_parallel:

@@ -58,10 +58,14 @@ class MVApproxResult(NamedTuple):
 
 
 def approximate_mv(spec: MVNGSpec, conv_tol=CONV_TOL,
-                   max_iter=MAX_ITER) -> MVApproxResult:
-    """Laplace iteration (`/root/reference/src/model_ssm_mng.cpp:84-120`)."""
+                   max_iter=MAX_ITER, mode0=None) -> MVApproxResult:
+    """Laplace iteration (`/root/reference/src/model_ssm_mng.cpp:84-120`).
+    ``mode0`` optionally warm-starts the iteration (see approx.approximate)."""
     n = spec.n
-    mode0 = spec.initial_mode.astype(spec.y.dtype)
+    if mode0 is None:
+        mode0 = spec.initial_mode.astype(spec.y.dtype)
+    else:
+        mode0 = mode0.astype(spec.y.dtype)
     # conv_tol below the dtype noise floor would always exhaust max_iter
     # (f32 eps ~1e-7); clamp to a resolvable tolerance
     conv_tol = max(conv_tol, 50.0 * float(jnp.finfo(spec.y.dtype).eps))
@@ -104,9 +108,9 @@ def _series_scales(spec: MVNGSpec, mode, yt, H):
 
 
 def approx_loglik_mv(spec: MVNGSpec, approx=None, conv_tol=CONV_TOL,
-                     max_iter=MAX_ITER) -> MVApproxLoglik:
+                     max_iter=MAX_ITER, mode0=None) -> MVApproxLoglik:
     if approx is None:
-        approx = approximate_mv(spec, conv_tol, max_iter)
+        approx = approximate_mv(spec, conv_tol, max_iter, mode0=mode0)
     if approx.gloglik is not None:
         gll = approx.gloglik
     else:

@@ -149,6 +149,16 @@ def ekf_smoother(model_or_spec, theta=None, iekf_iter: int = 0):
     return jax.jit(nlg_mod.ekf_smoother)(spec)
 
 
+def ekf_fast_smoother(model_or_spec, theta=None, iekf_iter: int = 0):
+    """Means-only extended Kalman smoother (`/root/reference/R/smoother.R`,
+    `src/model_ssm_nlg.cpp:483-556`)."""
+    from . import nlg as nlg_mod
+    spec = _spec_of(model_or_spec, theta)
+    if iekf_iter:
+        spec = spec.replace(iekf_iter=iekf_iter)
+    return jax.jit(nlg_mod.ekf_fast_smoother)(spec)
+
+
 def ekpf_filter(model_or_spec, particles: int, key=None, seed: int = 1,
                 theta=None):
     """Extended Kalman particle filter."""

@@ -143,6 +143,9 @@ class McmcOutput:
     approx_loglik: Optional[np.ndarray] = None
     prior: Optional[np.ndarray] = None
     time: Optional[dict] = None
+    theta_sampled: Optional[np.ndarray] = None  # (chains, S, d) sampled-space
+    # copy stored alongside modes so post_correct replays bit-exactly
+    # (avoids the exp/log round-trip through the natural-space theta)
 
     @property
     def counts(self) -> np.ndarray:
@@ -379,8 +382,9 @@ def _gaussian_chain(model: Model, n_iter, burnin, thin, target, gamma,
 # --------------------------------------------------------------------------
 
 class _FamilyOps(NamedTuple):
-    """approx_eval(spec)->(loglik, mode); psi(spec, mode, nsim, key)->
-    (log_corr, traced, final_w); bsf(spec, nsim, key)->(ll, traced, final_w);
+    """approx_eval(spec, key, mode_prev=None)->(loglik, mode);
+    psi(spec, mode, nsim, key)-> (log_corr, traced, final_w);
+    bsf(spec, nsim, key)->(ll, traced, final_w);
     spdk or None; mode0(spec)->initial mode array."""
     approx_eval: Any
     psi: Any
@@ -390,12 +394,14 @@ class _FamilyOps(NamedTuple):
 
 
 def _family_ops(model: Model, conv_tol, max_iter,
-                local_approx: bool = True) -> _FamilyOps:
+                local_approx: bool = True,
+                coarse_nsim: int = 32) -> _FamilyOps:
     if model.kind == "ng":
         if local_approx:
-            def approx_eval(spec, key):
+            def approx_eval(spec, key, mode_prev=None):
                 al = approx_mod.approx_loglik(spec, conv_tol=conv_tol,
-                                              max_iter=max_iter)
+                                              max_iter=max_iter,
+                                              mode0=mode_prev)
                 return al.loglik, al.approx.mode
         else:
             # global approximation: (ytilde, Htilde) fixed at the initial
@@ -406,7 +412,7 @@ def _family_ops(model: Model, conv_tol, max_iter,
             yt0 = jax.lax.stop_gradient(ap0.ytilde)
             H0 = jax.lax.stop_gradient(ap0.Htilde)
 
-            def approx_eval(spec, key):
+            def approx_eval(spec, key, mode_prev=None):
                 from ..ops import kalman
                 g = spec.approx_gaussian(yt0, H0)
                 alpha = kalman.fast_smoother(g)
@@ -453,7 +459,7 @@ def _family_ops(model: Model, conv_tol, max_iter,
     if model.kind == "nlg":
         from . import nlg as nlg_mod
 
-        def approx_eval(spec, key):
+        def approx_eval(spec, key, mode_prev=None):
             ap = nlg_mod.approximate_nlg(spec)
             return ap.loglik, ap.mode
 
@@ -477,9 +483,10 @@ def _family_ops(model: Model, conv_tol, max_iter,
         from . import approx_mv as mv_mod
 
         if local_approx:
-            def approx_eval(spec, key):
+            def approx_eval(spec, key, mode_prev=None):
                 al = mv_mod.approx_loglik_mv(spec, conv_tol=conv_tol,
-                                             max_iter=max_iter)
+                                             max_iter=max_iter,
+                                             mode0=mode_prev)
                 return al.loglik, al.approx.mode
         else:
             ap0 = mv_mod.approximate_mv(model.build(model.theta_init),
@@ -487,7 +494,7 @@ def _family_ops(model: Model, conv_tol, max_iter,
             yt0 = jax.lax.stop_gradient(ap0.ytilde)
             H0 = jax.lax.stop_gradient(ap0.Htilde)
 
-            def approx_eval(spec, key):
+            def approx_eval(spec, key, mode_prev=None):
                 from ..ops import kalman_mv
                 g = spec.approx_gaussian(yt0, H0)
                 alpha = kalman_mv.fast_smoother_mv(g)
@@ -524,15 +531,20 @@ def _family_ops(model: Model, conv_tol, max_iter,
     if model.kind == "sde":
         from . import sde as sde_mod
 
-        def approx_eval(spec, key):
+        def approx_eval(spec, key, mode_prev=None):
             # phase-1 "approximation" = coarse-level bootstrap filter
-            # (`/root/reference/src/approx_mcmc.cpp:230-334`)
-            pf = sde_mod.bsf_filter_sde(spec, _SDE_COARSE_NSIM[0], spec.L_c,
-                                        key)
+            # (`/root/reference/src/approx_mcmc.cpp:230-334`).  The Brownian
+            # increments are derived from `key` at the FINE resolution and
+            # summed to the coarse grid, so a later fine-level filter with the
+            # same key is coupled to this estimate (the reference's shared
+            # `coarse_engine`, `/root/reference/src/model_ssm_sde.h:45-48`).
+            pf = sde_mod.bsf_filter_sde(spec, coarse_nsim, spec.L_c, key,
+                                        couple=True)
             return pf.loglik, jnp.zeros((1,), spec.y.dtype)
 
         def bsf(spec, nsim, key):
-            pf = sde_mod.bsf_filter_sde(spec, nsim, spec.L_f, key)
+            pf = sde_mod.bsf_filter_sde(spec, nsim, spec.L_f, key,
+                                        couple=True)
             traced = ancestor_trace(pf.alpha, pf.indices)
             return pf.loglik, traced, pf.weights[:, -1]
 
@@ -544,26 +556,35 @@ def _family_ops(model: Model, conv_tol, max_iter,
     raise ValueError(f"no family ops for model kind {model.kind}")
 
 
-# number of particles used by the sde coarse phase-1 filter; set by run_mcmc
-_SDE_COARSE_NSIM = [32]
-
-
 # --------------------------------------------------------------------------
 # non-Gaussian: approximate MCMC (phase 1)
 # --------------------------------------------------------------------------
 
 def _approx_chain(model: Model, n_iter, burnin, thin, target, gamma,
-                  end_ram, conv_tol, max_iter, local_approx=True):
-    ops = _family_ops(model, conv_tol, max_iter, local_approx)
+                  end_ram, conv_tol, max_iter, local_approx=True,
+                  coarse_nsim=32):
+    ops = _family_ops(model, conv_tol, max_iter, local_approx, coarse_nsim)
 
-    def logdens(theta, key, aux):
-        spec = model.build(theta)
-        ll, mode = ops.approx_eval(spec, key)
-        return ll, ll, mode
+    if model.kind == "sde":
+        # aux stores the evaluation KEY: the phase-2 fine-level filter reuses
+        # it so coarse/fine log-likelihoods share Brownian paths (coupling,
+        # `/root/reference/src/approx_mcmc.cpp:537-538`)
+        def logdens(theta, key, aux):
+            spec = model.build(theta)
+            ll, _ = ops.approx_eval(spec, key)
+            return ll, ll, key
+    else:
+        # aux carries the converged Laplace mode; warm-starting the next
+        # proposal's mode iteration from it typically converges in 1-2 steps
+        def logdens(theta, key, aux):
+            spec = model.build(theta)
+            ll, mode = ops.approx_eval(spec, key, aux)
+            return ll, ll, mode
 
     def chain(key, theta0, S0):
         spec0 = model.build(theta0)
-        aux0 = ops.mode0(spec0)
+        aux0 = jax.random.PRNGKey(0) if model.kind == "sde" \
+            else ops.mode0(spec0)
         final, thetas, lps, lls, accepted, modes = _ram_scan(
             logdens, model.log_prior, theta0, S0, key, n_iter, burnin,
             target, gamma, end_ram, aux0=aux0)
@@ -609,6 +630,21 @@ def _ekf_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
             out["alpha"] = jax.lax.map(
                 lambda a: draw(a[0], a[1]), (out["theta"], keys),
                 batch_size=64)
+        elif output_type == "summary":
+            # EKF-smoother mean/variance per stored theta; law of total
+            # variance over draws (`/root/reference/src/approx_mcmc.cpp:
+            # 1633-1671` ekf_state_summary)
+            def smooth(th):
+                sm = nlg_mod.ekf_smoother(model.build(th))
+                return sm.alphahat, sm.Vt
+
+            ahat, vts = jax.lax.map(smooth, out["theta"], batch_size=64)
+            mean = jnp.mean(ahat, axis=0)
+            dev = ahat - mean
+            out["alphahat"] = mean
+            out["Vt"] = (jnp.mean(vts, axis=0)
+                         + jnp.einsum('sti,stj->tij', dev, dev)
+                         / ahat.shape[0])
         return out
 
     return chain
@@ -636,6 +672,11 @@ def _make_correct_one(model: Model, nsim, sampling_method,
         theta_i, mode_i, key_i = args
         spec = model.build(theta_i)
         k_pf, k_draw = jax.random.split(key_i)
+        if model.kind == "sde":
+            # mode_i IS the stored phase-1 evaluation key: reusing it couples
+            # the fine-level filter to the stored coarse estimate
+            # (`/root/reference/src/approx_mcmc.cpp:537-538`)
+            k_pf = mode_i
         if sampling_method == "psi" and logw_only and model.kind == "ng":
             # log-weight-only corrections skip trajectory storage and
             # route through the fused RTS + psi Pallas kernels under vmap
@@ -713,12 +754,10 @@ def _is_correction_flat(model: Model, thetas, modes, key, nsim,
     # correction — including the fused Pallas kernels, which XLA's SPMD
     # partitioner cannot split as opaque calls — on its local B/n_dev rows;
     # no cross-device communication is needed (draws are independent).
-    from jax.experimental.shard_map import shard_map
-
-    local = shard_map(
+    local = jax.shard_map(
         jax.vmap(lambda t, m, k: correct_one((t, m, k))),
         mesh=mesh, in_specs=(flat_axes, flat_axes, flat_axes),
-        out_specs=flat_axes, check_rep=False)
+        out_specs=flat_axes, check_vma=False)
 
     def chunk(_, xs):
         th, mo, ke = xs
@@ -734,17 +773,125 @@ def _is_correction_flat(model: Model, thetas, modes, key, nsim,
     return out
 
 
+def _is_postprocess(model: Model, thetas, modes, accepted, approx_ll, key, *,
+                    is_type, nsim, sampling_method, batch_size, bucket,
+                    mesh, want_states, want_moments, n1m):
+    """Device-side IS post-correction: head selection, correction, jump-chain
+    fill, and weight assembly run inside ONE jit program — no host
+    round-trips (the round-2 design gathered heads via host `np.nonzero` and
+    forward-filled in numpy, costing ~22% of bench wall time and scaling
+    superlinearly in corrected rows).
+
+    is2: correct each jump-chain head once with ``nsim`` particles;
+         duplicate slots share the head's result
+         (`/root/reference/src/approx_mcmc.cpp:364-427`).
+    is1: correct EVERY stored slot with ``nsim`` particles and average each
+         jump-chain segment's ``count`` independent estimates in probability
+         space: an unbiased correction whose per-head particle budget is
+         nsim x count — the reference's count-scaled is1
+         (`/root/reference/src/approx_mcmc.cpp:375-377`) runs one PF with
+         nsim*count particles, which has the same total cost and the same
+         1/(nsim*count) variance scaling but is not shape-static.  The
+         sampled state trajectory / moments are the segment mixture.
+    is3: correct every stored slot independently.
+
+    Returns {"log_w": (C, S)} plus "alpha" (C, S, n+1, m) for full output
+    or "alphahat"/"Vt" global weighted moments for summary output.
+    """
+    C, Sn = thetas.shape[:2]
+    CS = C * Sn
+    flat = lambda a: a.reshape((CS,) + a.shape[2:])        # noqa: E731
+    th_flat, mo_flat = flat(thetas), flat(modes)
+    hmask = accepted.astype(bool).at[:, 0].set(True).reshape(-1)
+
+    if is_type == 2:
+        hidx = jnp.nonzero(hmask, size=bucket, fill_value=0)[0]
+        corr = _is_correction_flat(
+            model, jnp.take(th_flat, hidx, axis=0),
+            jnp.take(mo_flat, hidx, axis=0), key, nsim, sampling_method,
+            batch_size=batch_size, mesh=mesh,
+            want_states=want_states, want_moments=want_moments)
+        src = jnp.cumsum(hmask) - 1                 # head ordinal per slot
+        corr = jax.tree_util.tree_map(
+            lambda a: jnp.take(a, src, axis=0), corr)
+    else:
+        corr = _is_correction_flat(
+            model, th_flat, mo_flat, key, nsim, sampling_method,
+            batch_size=batch_size, mesh=mesh,
+            want_states=want_states, want_moments=want_moments)
+
+    log_w = corr["log_w"]
+    if sampling_method == "bsf":
+        # BSF estimates the full likelihood; the IS weight is the ratio to
+        # the stored approximate likelihood (`approx_mcmc.cpp:479`)
+        log_w = log_w - flat(approx_ll)
+    log_w = jnp.where(jnp.isfinite(log_w), log_w, -jnp.inf)
+    alpha = corr.get("alpha")
+    mean_s, vt_s = corr.get("mean"), corr.get("Vt")
+
+    if is_type == 1:
+        seg = jnp.cumsum(hmask) - 1                 # global segment ids
+        M = jax.ops.segment_max(log_w, seg, num_segments=CS)
+        Ms = jnp.where(jnp.isfinite(M), M, 0.0)[seg]
+        p = jnp.where(jnp.isfinite(log_w), jnp.exp(log_w - Ms), 0.0)
+        psum = jax.ops.segment_sum(p, seg, num_segments=CS)
+        cnt = jax.ops.segment_sum(jnp.ones_like(p), seg, num_segments=CS)
+        cnt = jnp.maximum(cnt, 1.0)
+        log_w = (M + jnp.log(psum) - jnp.log(cnt))[seg]
+        pn = p / jnp.where(psum[seg] > 0, psum[seg], 1.0)
+        if alpha is not None:
+            # mixture draw: pick one slot per segment with prob w_j / sum w
+            g = jax.random.gumbel(jax.random.fold_in(key, 17), (CS,),
+                                  p.dtype)
+            val = jnp.where(p > 0, jnp.log(p) + g, -jnp.inf)
+            vmax = jax.ops.segment_max(val, seg, num_segments=CS)[seg]
+            cand = jnp.where(val >= vmax, jnp.arange(CS), -1)
+            sel = jax.ops.segment_max(cand, seg, num_segments=CS)
+            alpha = jnp.take(alpha, jnp.maximum(sel, 0)[seg], axis=0)
+        if mean_s is not None:
+            # mixture moments: E = sum_j pn_j E_j; V via second moments
+            means = mean_s.reshape((CS,) + n1m)
+            vts = vt_s.reshape((CS,) + n1m + (n1m[-1],))
+            mbar = jax.ops.segment_sum(pn[:, None, None] * means, seg,
+                                       num_segments=CS)
+            e2 = vts + jnp.einsum('stm,stk->stmk', means, means)
+            e2bar = jax.ops.segment_sum(pn[:, None, None, None] * e2, seg,
+                                        num_segments=CS)
+            vbar = e2bar - jnp.einsum('stm,stk->stmk', mbar, mbar)
+            mean_s = jnp.take(mbar, seg, axis=0).reshape(CS, -1)
+            vt_s = jnp.take(vbar, seg, axis=0).reshape(CS, -1)
+
+    out = {"log_w": log_w.reshape(C, Sn)}
+    if want_states and alpha is not None:
+        out["alpha"] = alpha.reshape((C, Sn) + n1m)
+    if want_moments and mean_s is not None:
+        # global weighted moments over all slots (law of total variance;
+        # the between-draw deviation term included, `summary.cpp` semantics)
+        mx = jnp.max(log_w)
+        w = jnp.exp(log_w - jnp.where(jnp.isfinite(mx), mx, 0.0))
+        sw = jnp.maximum(jnp.sum(w), jnp.finfo(w.dtype).tiny)
+        means = mean_s.reshape((CS,) + n1m)
+        vts = vt_s.reshape((CS,) + n1m + (n1m[-1],))
+        mean = jnp.einsum('s,stm->tm', w, means) / sw
+        dev = means - mean
+        out["alphahat"] = mean
+        out["Vt"] = (jnp.einsum('s,stmk->tmk', w, vts)
+                     + jnp.einsum('s,stm,stk->tmk', w, dev, dev)) / sw
+    return out
+
+
 # --------------------------------------------------------------------------
 # non-Gaussian: pseudo-marginal and delayed-acceptance MCMC
 # --------------------------------------------------------------------------
 
 def _pf_loglik(model: Model, theta, key, nsim, sampling_method, conv_tol,
-               max_iter, local_approx=True, need_states=True):
+               max_iter, local_approx=True, need_states=True,
+               coarse_nsim=32):
     """(exact_ll, approx_ll, sampled trajectory) for one theta
     (`/root/reference/src/model_ssm_ung.cpp:164-236`).  With
     ``need_states=False`` the trajectory is a placeholder and the psi path
     routes through the fused log-weight-only kernel."""
-    ops = _family_ops(model, conv_tol, max_iter, local_approx)
+    ops = _family_ops(model, conv_tol, max_iter, local_approx, coarse_nsim)
     spec = model.build(theta)
     k_pf, k_draw = jax.random.split(key)
     if sampling_method == "bsf":
@@ -778,7 +925,7 @@ def _pf_loglik(model: Model, theta, key, nsim, sampling_method, conv_tol,
 
 def _pm_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
               nsim, sampling_method, conv_tol, max_iter, output_type,
-              local_approx=True):
+              local_approx=True, coarse_nsim=32):
     spec0 = model.build(model.theta_init)
     m = spec0.m
     n = spec0.n
@@ -787,7 +934,8 @@ def _pm_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
     def logdens(theta, key, aux):
         ll, all_, alpha = _pf_loglik(model, theta, key, nsim,
                                      sampling_method, conv_tol, max_iter,
-                                     local_approx, need_states=store_alpha)
+                                     local_approx, need_states=store_alpha,
+                                     coarse_nsim=coarse_nsim)
         aux_new = alpha.reshape(-1) if store_alpha else ()
         return ll, all_, aux_new
 
@@ -810,24 +958,34 @@ def _pm_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
 
 def _da_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
               nsim, sampling_method, conv_tol, max_iter, output_type,
-              local_approx=True):
+              local_approx=True, coarse_nsim=32):
     """Delayed acceptance: stage 1 on the approximate posterior, stage 2
-    corrects with the PF estimate (`/root/reference/src/mcmc.cpp:530-685`)."""
+    corrects with the PF estimate (`/root/reference/src/mcmc.cpp:530-685`).
+    For SDE models stage 1 (coarse BSF) and stage 2 (fine BSF) derive their
+    Brownian increments from the SAME key, so the second-stage ratio
+    exp(ll_f - ll_c) is the coupled multilevel estimator
+    (`/root/reference/src/mcmc.cpp:840-992`)."""
     spec0 = model.build(model.theta_init)
     m, n = spec0.m, spec0.n
     dt = spec0.y.dtype
     store_alpha = output_type == "full"
     d = model.theta_init.shape[0]
-    ops = _family_ops(model, conv_tol, max_iter, local_approx)
+    ops = _family_ops(model, conv_tol, max_iter, local_approx, coarse_nsim)
+    sde = model.kind == "sde"
 
     def full_eval(theta, key):
         return _pf_loglik(model, theta, key, nsim, sampling_method,
                           conv_tol, max_iter, local_approx,
-                          need_states=store_alpha)
+                          need_states=store_alpha, coarse_nsim=coarse_nsim)
 
     def chain(key, theta0, S0):
         key, k0 = jax.random.split(key)
         ll0, all0, alpha0 = full_eval(theta0, k0)
+        if sde:
+            # coarse-level stage-1 loglik from the same PF key the fine
+            # filter consumed (k_pf = split(k0)[0] inside _pf_loglik)
+            all0 = ops.approx_eval(model.build(theta0),
+                                   jax.random.split(k0)[0])[0]
         ll0, all0 = jnp.asarray(ll0, dt), jnp.asarray(all0, dt)
         alpha0 = alpha0.reshape(-1)
         lp0 = model.log_prior(theta0)
@@ -845,7 +1003,11 @@ def _da_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
                 ll_a, _ = ops.approx_eval(spec, k)
                 return jnp.asarray(ll_a, dt)
 
-            key, k_s1 = jax.random.split(key)
+            if sde:
+                # same Brownian key as the stage-2 fine filter (coupling)
+                k_s1 = jax.random.split(k_den)[0]
+            else:
+                key, k_s1 = jax.random.split(key)
             ll_approx_prop = jax.lax.cond(
                 ok, stage1, lambda _: jnp.asarray(_NEG_INF, dt), k_s1)
             acc_prob = jnp.where(
@@ -896,6 +1058,13 @@ def _da_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
 # public driver
 # --------------------------------------------------------------------------
 
+def is_correction_key(seed: int, n_chains: int):
+    """The phase-2 IS-correction key `run_mcmc` derives from ``seed`` —
+    pass to ``post_correct(key=...)`` to replay a stored run's correction
+    bit-exactly."""
+    return jax.random.split(jax.random.PRNGKey(seed), n_chains + 1)[0]
+
+
 def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
              thin: int = 1, particles: int = 0, mcmc_type: Optional[str] = None,
              sampling_method: Optional[str] = None,
@@ -932,9 +1101,9 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
             raise ValueError("particles >= 2 required for non-approx MCMC")
         if model.kind == "sde":
             sampling_method = "bsf"
-            # coarse phase-1 filter uses the same particle count
-            # (`/root/reference/src/approx_mcmc.cpp:230-334`)
-            _SDE_COARSE_NSIM[0] = max(int(particles), 2)
+    # coarse phase-1 sde filter uses the same particle count
+    # (`/root/reference/src/approx_mcmc.cpp:230-334`)
+    coarse_nsim = max(int(particles), 2) if model.kind == "sde" else 32
 
     theta0 = model.theta_init if theta_init is None else theta_init
     S0 = model.initial_S() if S is None else jnp.asarray(S)
@@ -958,7 +1127,8 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
         chain = _gaussian_chain(model, output_type=output_type, **common)
     elif mcmc_type in ("approx", "is1", "is2", "is3"):
         chain = _approx_chain(model, conv_tol=conv_tol, max_iter=max_iter,
-                              local_approx=local_approx, **common)
+                              local_approx=local_approx,
+                              coarse_nsim=coarse_nsim, **common)
     elif mcmc_type == "ekf":
         if model.kind != "nlg":
             raise ValueError("mcmc_type='ekf' requires a nonlinear model")
@@ -968,13 +1138,15 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
                           sampling_method=sampling_method,
                           conv_tol=conv_tol, max_iter=max_iter,
                           output_type=output_type,
-                          local_approx=local_approx, **common)
+                          local_approx=local_approx,
+                          coarse_nsim=coarse_nsim, **common)
     elif mcmc_type == "da":
         chain = _da_chain(model, nsim=particles,
                           sampling_method=sampling_method,
                           conv_tol=conv_tol, max_iter=max_iter,
                           output_type=output_type,
-                          local_approx=local_approx, **common)
+                          local_approx=local_approx,
+                          coarse_nsim=coarse_nsim, **common)
     else:
         raise ValueError(f"unknown mcmc_type {mcmc_type}")
 
@@ -1030,8 +1202,17 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
             out.alpha = np.asarray(res["alpha"]).reshape(
                 res["alpha"].shape[:2] + n1m_shape)
         elif output_type == "summary" and "alphahat" in res:
-            out.alphahat = np.asarray(jnp.mean(res["alphahat"], axis=0))
-            out.Vt = np.asarray(jnp.mean(res["Vt"], axis=0))
+            # across chains: law of total variance again — per-chain Vt
+            # already carries the within-chain theta variation, the
+            # between-chain deviation term is added here (the reference's
+            # streaming moments pool all draws, `src/mcmc.cpp:150-177`)
+            ahat_c, vt_c = res["alphahat"], res["Vt"]
+            mean = jnp.mean(ahat_c, axis=0)
+            dev = ahat_c - mean
+            out.alphahat = np.asarray(mean)
+            out.Vt = np.asarray(jnp.mean(vt_c, axis=0)
+                                + jnp.einsum('cti,ctj->tij', dev, dev)
+                                / ahat_c.shape[0])
     elif mcmc_type in ("pm", "da"):
         if output_type == "full":
             out.alpha = np.asarray(res["alpha"]).reshape(
@@ -1046,84 +1227,63 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
             out.alpha = np.asarray(draws)
         if store_modes:
             out.modes = np.asarray(res["modes"])
+            out.theta_sampled = np.asarray(res["theta"])
     else:  # is1 / is2 / is3
         out.prior = np.asarray(res["prior"])
         out.approx_loglik = np.asarray(res["approx_ll"])
         if store_modes:
-            # (chains, S, n) — the dominant device->host transfer; only
-            # needed afterwards by post_correct/checkpointing
+            # (chains, S, n) — only needed afterwards by
+            # post_correct/checkpointing; the correction itself reads the
+            # device-resident copies
             out.modes = np.asarray(res["modes"])
+            out.theta_sampled = np.asarray(res["theta"])
         t1 = _time.time()
         is_type = int(mcmc_type[-1])
         C, Sn = res["theta"].shape[:2]
-        flat = lambda a: a.reshape((C * Sn,) + a.shape[2:])   # noqa: E731
         want_states = output_type == "full"
         want_moments = output_type == "summary"
-        corr_key = ("corr", particles, sampling_method, corr_batch,
-                    want_states, want_moments,
-                    None if mesh is None else id(mesh))
-        corr_fn = jit_cache.get(corr_key)
-        if corr_fn is None:
-            corr_fn = jax.jit(lambda th, mo, k: _is_correction_flat(
-                model, th, mo, k, particles, sampling_method,
-                batch_size=corr_batch or 256, mesh=mesh,
-                want_states=want_states, want_moments=want_moments))
-            jit_cache[corr_key] = corr_fn
-        th_flat, mo_flat = flat(res["theta"]), flat(res["modes"])
         if is_type == 2:
-            # is2 corrects each stored jump-chain row (head) ONCE and shares
-            # the result across its duplicates — exactly the reference's
-            # OpenMP loop over stored draws
-            # (`/root/reference/src/approx_mcmc.cpp:364-368`); with ~0.234
-            # acceptance this is ~4x less correction work than per-slot.
-            heads = np.asarray(res["accepted"]).astype(bool)
-            heads[:, 0] = True                     # slot 0 is always a head
-            hmask = heads.reshape(-1)
-            hidx = np.nonzero(hmask)[0]
-            nh = int(hidx.size)
-            # pad to a power-of-2 bucket so repeated runs with similar
-            # acceptance rates reuse the compiled correction program
+            # head count: ONE scalar device->host sync; the actual head
+            # gather stays on device inside _is_postprocess.  Pad to a
+            # power-of-2 bucket so runs with similar acceptance rates reuse
+            # the compiled program.
+            acc = res["accepted"]
+            nh = int(jnp.sum(acc)) + C - int(jnp.sum(acc[:, 0]))
             bucket = max(int(corr_batch or 256),
-                         1 << (nh - 1).bit_length())
+                         1 << max(nh - 1, 1).bit_length())
             bucket = min(bucket, C * Sn) if C * Sn >= nh else nh
-            padn = (-nh) % bucket
-            hidx_p = np.concatenate([hidx, np.repeat(hidx[-1:], padn)]) \
-                if padn else hidx
-            corr = corr_fn(jnp.take(th_flat, hidx_p, axis=0),
-                           jnp.take(mo_flat, hidx_p, axis=0), is_key)
-            corr = {k: np.asarray(v)[:nh] for k, v in corr.items()}
-            fill = np.cumsum(hmask) - 1            # most recent head index
-            corr = {k: v[fill] for k, v in corr.items()}
         else:
-            corr = corr_fn(th_flat, mo_flat, is_key)
-            corr = {k: np.asarray(v) for k, v in corr.items()}
-        log_w = corr["log_w"].reshape(C, Sn)
-        if sampling_method == "bsf":
-            log_w = log_w - out.approx_loglik
-        rest = {k: v.reshape((C, Sn) + v.shape[1:])
-                for k, v in corr.items() if k != "log_w"}
-        # non-finite corrections -> zero weight; store weights shifted by the
-        # global max so exp never overflows (IS averages are scale-invariant)
-        log_w = np.where(np.isfinite(log_w), log_w, -np.inf)
+            bucket = 0
+        spec0 = model.build(model.theta_init)
+        n1m = (spec0.n + 1, spec0.m)
+        post_key = ("post", is_type, particles, sampling_method,
+                    corr_batch, bucket, want_states, want_moments,
+                    None if mesh is None else id(mesh))
+        post_fn = jit_cache.get(post_key)
+        if post_fn is None:
+            post_fn = jax.jit(
+                lambda th, mo, acc, all_, k: _is_postprocess(
+                    model, th, mo, acc, all_, k, is_type=is_type,
+                    nsim=particles, sampling_method=sampling_method,
+                    batch_size=corr_batch or 256, bucket=bucket, mesh=mesh,
+                    want_states=want_states, want_moments=want_moments,
+                    n1m=n1m))
+            jit_cache[post_key] = post_fn
+        post = post_fn(res["theta"], res["modes"], res["accepted"],
+                       res["approx_ll"], is_key)
+        post = jax.tree_util.tree_map(
+            lambda a: a.block_until_ready(), post)
+        log_w = np.asarray(post["log_w"])
+        # store weights shifted by the global max so exp never overflows
+        # (IS averages are scale-invariant)
         shift = np.max(log_w[np.isfinite(log_w)], initial=0.0)
         out.weights = np.exp(log_w - shift)
         out.posterior = out.prior + out.approx_loglik + log_w
-        spec0 = model.build(model.theta_init)
-        n1m = (spec0.n + 1, spec0.m)
         if want_states:
-            out.alpha = np.asarray(rest["alpha"]).reshape(
-                (C, Sn) + n1m)
+            out.alpha = np.asarray(post["alpha"])
         elif want_moments:
-            w = out.weights.reshape(-1)
-            means = np.asarray(rest["mean"]).reshape((-1,) + n1m)
-            vts = np.asarray(rest["Vt"]).reshape(
-                (-1,) + n1m + (spec0.m,))
-            sw = np.sum(w)
-            mean = np.einsum('s,stm->tm', w, means) / sw
-            dev = means - mean
-            out.alphahat = mean
-            out.Vt = (np.einsum('s,stmk->tmk', w, vts)
-                      + np.einsum('s,stm,stk->tmk', w, dev, dev)) / sw
+            out.alphahat = np.asarray(post["alphahat"])
+            out.Vt = np.asarray(post["Vt"])
         out.time = {"mcmc": t_mcmc, "correction": _time.time() - t1}
 
     if out.time is None:

@@ -610,3 +610,13 @@ def ekf_smoother(spec: NLGSpec) -> kalman_mv.MVSmoothResult:
     r = ekf(spec)
     g = build_approx(spec, r.at[:-1], att=r.att)
     return kalman_mv.smoother_mv(g)
+
+
+def ekf_fast_smoother(spec: NLGSpec) -> jnp.ndarray:
+    """Means-only extended Kalman smoothing, (n+1, m): EKF pass + the
+    disturbance-smoother mean recursion on the linearised system — no
+    variance recursions (`/root/reference/src/model_ssm_nlg.cpp:483-556`,
+    `ekf_fast_smoother`; exposed via `R/smoother.R`)."""
+    r = ekf(spec)
+    g = build_approx(spec, r.at[:-1], att=r.att)
+    return kalman_mv.fast_smoother_mv(g)

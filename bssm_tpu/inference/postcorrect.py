@@ -3,7 +3,11 @@
 `post_correct` re-weights a stored approximate-MCMC run with psi-APF/BSF/SPDK
 corrections (`/root/reference/R/post_correction.R:245-308`) — the stored
 (theta, mode) pairs ARE the checkpointable state, so any approx run can be
-upgraded to an exact weighted posterior later, on more devices.
+upgraded to an exact weighted posterior later, on more devices.  It shares
+`run_mcmc`'s device-side postprocess, so is2 corrects jump-chain heads only
+(not every slot) and `output_type="summary"` streams weighted moments
+instead of trajectories; `post_correct(key=is_correction_key(seed,
+n_chains))` replays a `run_mcmc(mcmc_type="is*")` correction bit-exactly.
 
 `suggest_N` picks the smallest particle count whose psi-APF log-weight
 standard deviation at a reference theta (e.g. the MAP) is < 1
@@ -16,15 +20,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import Model
-from .mcmc import (McmcOutput, _family_ops, _forward_fill_heads,
-                   _is_correction_flat, _make_correct_one)
+from .mcmc import (McmcOutput, _family_ops, _is_postprocess,
+                   _make_correct_one, is_correction_key)   # noqa: F401
 
 
 def post_correct(model: Model, output: McmcOutput, particles: int,
                  sampling_method: str = "psi", is_type: int = 2,
-                 seed: int = 1, mesh=None, corr_batch: int = 256
-                 ) -> McmcOutput:
-    """IS-correct a stored approximate run in place (returns a new output)."""
+                 seed: int = 1, mesh=None, corr_batch: int = 256,
+                 output_type: str = "full", key=None) -> McmcOutput:
+    """IS-correct a stored approximate run (returns a new output)."""
     if output.modes is None:
         raise ValueError("post_correct needs a run with stored modes "
                          "(mcmc_type='approx' or 'is*')")
@@ -32,55 +36,79 @@ def post_correct(model: Model, output: McmcOutput, particles: int,
     import time as _time
     t0 = _time.time()
     C, Sn = output.theta.shape[:2]
-    # rebuild sampled-space thetas
-    from .predict import _to_sampled
-    th = jnp.asarray(output.theta.reshape(C * Sn, -1))
-    th = jax.vmap(lambda x: _to_sampled(model, x))(th)
-    modes = jnp.asarray(output.modes.reshape((C * Sn,) +
-                                             output.modes.shape[2:]))
-    key = jax.random.PRNGKey(seed)
-    corr_fn = jax.jit(lambda t, m, k: _is_correction_flat(
-        model, t, m, k, particles, sampling_method,
-        batch_size=corr_batch, mesh=mesh,
-        want_states=True, want_moments=False))
-    corr = corr_fn(th, modes, key)
+    if output.theta_sampled is not None:
+        th = jnp.asarray(output.theta_sampled)
+    else:
+        # legacy outputs: rebuild sampled-space thetas (exp/log round-trip)
+        from .predict import _to_sampled
+        th = jnp.asarray(output.theta.reshape(C * Sn, -1))
+        th = jax.vmap(lambda x: _to_sampled(model, x))(th)
+        th = th.reshape((C, Sn) + th.shape[1:])
+    modes = jnp.asarray(output.modes)
+    accepted = jnp.asarray(output.accepted).astype(bool)
+    approx_ll = (jnp.asarray(output.approx_loglik)
+                 if output.approx_loglik is not None
+                 else jnp.zeros((C, Sn), th.dtype))
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    want_states = output_type == "full"
+    want_moments = output_type == "summary"
+
+    if is_type == 2:
+        nh = int(jnp.sum(accepted)) + C - int(jnp.sum(accepted[:, 0]))
+        bucket = max(int(corr_batch or 256), 1 << max(nh - 1, 1).bit_length())
+        bucket = min(bucket, C * Sn) if C * Sn >= nh else nh
+    else:
+        bucket = 0
     spec0 = model.build(model.theta_init)
     n1m = (spec0.n + 1, spec0.m)
 
-    unflat = lambda a: np.asarray(a).reshape(                 # noqa: E731
-        (C, Sn) + a.shape[1:])
-    log_w = unflat(corr["log_w"])
-    alpha_flat = unflat(corr["alpha"])
-    if sampling_method == "bsf" and output.approx_loglik is not None:
-        log_w = log_w - output.approx_loglik
-    if is_type == 2:
-        filled = jax.vmap(_forward_fill_heads)(
-            (jnp.asarray(log_w), jnp.asarray(alpha_flat)),
-            jnp.asarray(output.accepted))
-        log_w, alpha_flat = (np.asarray(filled[0]), np.asarray(filled[1]))
-    alpha_new = np.asarray(alpha_flat).reshape((C, Sn) + n1m)
+    # same cache key scheme as run_mcmc: a matching post_correct call reuses
+    # the already-compiled correction program
+    jit_cache = model.extra.setdefault("_jit_cache", {})
+    post_key = ("post", is_type, particles, sampling_method, corr_batch,
+                bucket, want_states, want_moments,
+                None if mesh is None else id(mesh))
+    post_fn = jit_cache.get(post_key)
+    if post_fn is None:
+        post_fn = jax.jit(
+            lambda t, m, a, al, k: _is_postprocess(
+                model, t, m, a, al, k, is_type=is_type, nsim=particles,
+                sampling_method=sampling_method,
+                batch_size=corr_batch or 256, bucket=bucket, mesh=mesh,
+                want_states=want_states, want_moments=want_moments,
+                n1m=n1m))
+        jit_cache[post_key] = post_fn
+    post = post_fn(th, modes, accepted, approx_ll, key)
+    post = jax.tree_util.tree_map(lambda a: a.block_until_ready(), post)
 
     out = copy.copy(output)
+    log_w = np.asarray(post["log_w"])
     # non-finite corrections -> zero weight; store max-shifted (IS averages
     # are scale-invariant, exp never overflows), as in run_mcmc
-    log_w = np.where(np.isfinite(log_w), log_w, -np.inf)
     shift = np.max(log_w[np.isfinite(log_w)], initial=0.0)
     out.weights = np.exp(log_w - shift)
     out.posterior = (output.prior if output.prior is not None else 0.0) \
         + (output.approx_loglik if output.approx_loglik is not None
            else 0.0) + log_w
-    out.alpha = alpha_new
+    if want_states:
+        out.alpha = np.asarray(post["alpha"])
+    elif want_moments:
+        out.alphahat = np.asarray(post["alphahat"])
+        out.Vt = np.asarray(post["Vt"])
     out.mcmc_type = f"is{is_type}"
+    out.output_type = output_type
     out.time = dict(output.time or {}, correction=_time.time() - t0)
     return out
 
 
-def suggest_N(model: Model, theta=None, candidates=(2, 4, 8, 16, 32, 64,
-                                                    128),
+def suggest_N(model: Model, theta=None,
+              candidates=tuple(range(10, 101, 10)),
               replications: int = 100, seed: int = 1,
               sampling_method: str = "psi") -> dict:
     """Smallest N with sd(log-weight) < 1 at ``theta``
-    (`/root/reference/R/post_correction.R:85-151`)."""
+    (`/root/reference/R/post_correction.R:85-151`; same default candidate
+    grid seq(10, 100, by = 10))."""
     theta = model.theta_init if theta is None else jnp.asarray(theta)
     spec = model.build(theta)
     ll, mode = _family_ops(model, 1e-8, 100).approx_eval(

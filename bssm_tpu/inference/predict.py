@@ -13,8 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.spec import (BINOMIAL, GAMMA, GAUSSIAN, LGSpec, NEGBIN, NGSpec,
-                         POISSON, SVM)
+from ..core.spec import (BINOMIAL, GAMMA, GAUSSIAN, LGSpec, MVLGSpec,
+                         MVNGSpec, NEGBIN, NGSpec, POISSON, SVM)
 from ..core.priors import LOG
 from ..models.base import Model
 
@@ -45,50 +45,81 @@ def _sim_states(spec, a1, key):
     return jnp.concatenate([a1[None], alphas], axis=0)
 
 
+def _family_mean(d: int, signal):
+    if d == SVM:
+        return jnp.zeros_like(signal)
+    if d == GAUSSIAN:
+        return signal
+    if d == BINOMIAL:
+        e = jnp.exp(signal)
+        return e / (1.0 + e)
+    return jnp.exp(signal)
+
+
 def _obs_mean(spec, signal):
     if isinstance(spec, NGSpec):
-        d = spec.distribution
-        if d == SVM:
-            return jnp.zeros_like(signal)
-        if d == BINOMIAL:
-            e = jnp.exp(signal)
-            return e / (1.0 + e)
-        return jnp.exp(signal)
+        return _family_mean(spec.distribution, signal)
+    if isinstance(spec, MVNGSpec):
+        return jnp.stack([_family_mean(d, signal[:, j])
+                          for j, d in enumerate(spec.distributions)], axis=1)
     return signal
 
 
+def _family_sample(d: int, key, signal, u, phi, dt):
+    """One series of observation draws given the signal (reference
+    `sample_model(predict_type==1)`, `model_ssm_ung.cpp:786-829`,
+    `model_ssm_mng.cpp` sample_model)."""
+    n = signal.shape[0]
+    mean = _family_mean(d, signal)
+    if d == GAUSSIAN:
+        return signal + phi * jax.random.normal(key, (n,), dt)
+    if d == POISSON:
+        return jax.random.poisson(key, u * mean).astype(dt)
+    if d == BINOMIAL:
+        return jax.random.binomial(key, u, mean).astype(dt)
+    if d == NEGBIN:
+        k1, k2 = jax.random.split(key)
+        prob = phi / (phi + u * mean)
+        lam = jax.random.gamma(k1, phi, (n,)) * (1.0 - prob) / prob
+        return jax.random.poisson(k2, lam).astype(dt)
+    if d == GAMMA:
+        g = jax.random.gamma(key, phi, (n,))
+        return g * u * mean / phi
+    raise ValueError(d)
+
+
 def _obs_sample(spec, signal, alpha, key):
-    """Sample y given the signal (reference `sample_model(predict_type==1)`,
-    `model_ssm_ung.cpp:786-829`)."""
+    """Sample y given the signal; dispatches univariate / multivariate."""
     dt = signal.dtype
     n = signal.shape[0]
     if isinstance(spec, LGSpec):
         H = jnp.broadcast_to(spec.H, (n,))
         return signal + H * jax.random.normal(key, (n,), dt)
+    if isinstance(spec, MVLGSpec):
+        # correlated obs noise through the lower-tri factor H
+        Hb = _bc(spec.H, n)
+        eps = jax.random.normal(key, (n, spec.p), dt)
+        return signal + jnp.einsum('tij,tj->ti', Hb, eps)
+    if isinstance(spec, MVNGSpec):
+        return jnp.stack(
+            [_family_sample(d, jax.random.fold_in(key, j), signal[:, j],
+                            spec.u[:, j], spec.phi[j], dt)
+             for j, d in enumerate(spec.distributions)], axis=1)
     d = spec.distribution
-    mean = _obs_mean(spec, signal)
     if d == SVM:
         return spec.phi * jnp.exp(0.5 * alpha[:, 0]) * \
             jax.random.normal(key, (n,), dt)
-    if d == POISSON:
-        return jax.random.poisson(key, spec.u * mean).astype(dt)
-    if d == BINOMIAL:
-        return jax.random.binomial(key, spec.u, mean).astype(dt)
-    if d == NEGBIN:
-        k1, k2 = jax.random.split(key)
-        prob = spec.phi / (spec.phi + spec.u * mean)
-        lam = jax.random.gamma(k1, spec.phi, (n,)) * (1.0 - prob) / prob
-        return jax.random.poisson(k2, lam).astype(dt)
-    if d == GAMMA:
-        g = jax.random.gamma(key, spec.phi, (n,))
-        return g * spec.u * mean / spec.phi
-    raise ValueError(d)
+    return _family_sample(d, key, signal, spec.u, spec.phi, dt)
 
 
 def _signal(spec, alpha):
+    """(n,) univariate or (n, p) multivariate signal from states
+    (`/root/reference/R/predict.R:190-221,296-327` for the mlg/mng rows)."""
     n = spec.n
     Z = _bc(spec.Z, n)
     D = _bc(spec.D.astype(alpha.dtype), n)
+    if isinstance(spec, (MVLGSpec, MVNGSpec)):
+        return D + jnp.einsum('tpm,tm->tp', Z, alpha[:n])
     if isinstance(spec, NGSpec) and spec.distribution == SVM:
         return alpha[:, 0]
     return D + jnp.einsum('tm,tm->t', Z, alpha[:n])

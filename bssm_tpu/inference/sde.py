@@ -37,14 +37,26 @@ def _lse(logw, N, dt):
     return inc.astype(dt), nw
 
 
-def bsf_filter_sde(spec: SDESpec, nsim: int, L: int, key) -> SDEPFResult:
-    """Bootstrap filter at discretisation level 2^L."""
+def bsf_filter_sde(spec: SDESpec, nsim: int, L: int, key,
+                   couple: bool = False) -> SDEPFResult:
+    """Bootstrap filter at discretisation level 2^L.
+
+    With ``couple=True`` the Brownian increments are generated at the fine
+    level ``spec.L_f`` (and summed onto the 2^L grid), so a coarse run
+    (L = spec.L_c) and a fine run (L = spec.L_f) from the SAME ``key``
+    share Brownian paths per (interval, particle-slot): the multilevel
+    coupling that keeps the DA acceptance ratio / IS weights
+    exp(ll_f - ll_c) low-variance (`/root/reference/src/model_ssm_sde.h:45-48`,
+    `/root/reference/src/approx_mcmc.cpp:522-591`).  Key derivation is
+    prefix-stable in ``nsim`` (threefry split), so runs with different
+    particle counts stay coupled on the shared slots."""
     n = spec.n
     dt = spec.y.dtype
+    gen_L = spec.L_f if couple else L
 
     key, k0 = jax.random.split(key)
     x0 = jnp.full((nsim,), spec.x0, dt)
-    prop0 = jax.vmap(lambda k, x: milstein(spec, x, k, L))(
+    prop0 = jax.vmap(lambda k, x: milstein(spec, x, k, L, gen_L=gen_L))(
         jax.random.split(k0, nsim), x0)
 
     def dens(t, x):
@@ -64,7 +76,7 @@ def bsf_filter_sde(spec: SDESpec, nsim: int, L: int, key) -> SDEPFResult:
         kr, kp = jax.random.split(kt)
         idx = stratified_indices(nw, kr)
         anc = x_t[idx]
-        x_next = jax.vmap(lambda k, x: milstein(spec, x, k, L))(
+        x_next = jax.vmap(lambda k, x: milstein(spec, x, k, L, gen_L=gen_L))(
             jax.random.split(kp, nsim), anc)
         is_last = t + 1 >= n
         tt = jnp.minimum(t + 1, n - 1)

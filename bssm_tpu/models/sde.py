@@ -54,11 +54,24 @@ def milstein_step(x, dB, dt, theta, spec: SDESpec):
     return jnp.abs(x) if spec.positive else x
 
 
-def milstein(spec: SDESpec, x0, key, L: int, t: float = 1.0):
-    """Terminal value of a 2^L-step Milstein discretisation on [0, t]."""
-    nst = 2 ** L
-    dt = t / nst
-    dB = jnp.sqrt(dt) * jax.random.normal(key, (nst,), spec.y.dtype)
+def milstein(spec: SDESpec, x0, key, L: int, t: float = 1.0,
+             gen_L: int | None = None):
+    """Terminal value of a 2^L-step Milstein discretisation on [0, t].
+
+    ``gen_L >= L`` generates the Brownian increments at the FINER level
+    2^gen_L and sums them onto the 2^L grid: two filters run at different
+    levels from the same ``key`` then share the same Brownian path — the
+    multilevel coupling the reference routes through a dedicated
+    `coarse_engine` (`/root/reference/src/model_ssm_sde.h:45-48`,
+    seeded at `/root/reference/src/approx_mcmc.cpp:537-538`)."""
+    if gen_L is None:
+        gen_L = L
+    nf = 2 ** gen_L
+    dtf = t / nf
+    dBf = jnp.sqrt(dtf) * jax.random.normal(key, (nf,), spec.y.dtype)
+    ratio = 2 ** (gen_L - L)
+    dB = dBf.reshape(-1, ratio).sum(axis=1) if ratio > 1 else dBf
+    dt = t / (2 ** L)
 
     def body(x, db):
         return milstein_step(x, db, dt, spec.theta, spec), None

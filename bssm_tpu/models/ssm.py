@@ -62,8 +62,13 @@ def _defaults(m, a1, P1, D, C, n, p=None, dtype=jnp.float64):
     a1_ = jnp.asarray(val.check_a1(a1, m), dtype)
     P1_ = jnp.asarray(val.check_P1(P1, m), dtype)
     D_np = val.check_D(D, 1 if p is None else p, n)
-    D_ = jnp.asarray(D_np, dtype) if p is None else \
-        jnp.asarray(D_np.T, dtype)                     # (1|n, p)
+    if p is None:
+        D_ = jnp.asarray(D_np, dtype)                  # (1|n,)
+    else:
+        # multivariate intercept is always 2-D (1|n, p), incl. p == 1
+        # (check_D returns 1-D for p == 1)
+        D2 = np.atleast_2d(D_np) if D_np.ndim == 1 else D_np
+        D_ = jnp.asarray(D2.T, dtype)                  # (1|n, p)
     C_ = jnp.asarray(val.check_C(C, m, n).T, dtype)    # (1|n, m)
     return a1_, P1_, D_, C_
 

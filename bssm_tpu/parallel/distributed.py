@@ -42,6 +42,13 @@ def initialize(coordinator_address: Optional[str] = None,
     workers = [w for w in os.environ.get("TPU_WORKER_HOSTNAMES",
                                          "").split(",") if w]
     on_pod = len(workers) > 1          # single-worker slices stay local
+    if coordinator_address is not None and nproc in (0, 1) and not on_pod:
+        # an explicit coordinator with no process count would silently run
+        # every host standalone (duplicated chains, clashing checkpoints)
+        raise ValueError(
+            "initialize(coordinator_address=...) needs num_processes (and "
+            "process_id) or the JAX_NUM_PROCESSES/JAX_PROCESS_ID env vars "
+            "when not on a TPU pod")
     if not (addr or on_pod) or (nproc in (0, 1) and not on_pod):
         return False
     kwargs = {}

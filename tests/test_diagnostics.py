@@ -48,6 +48,48 @@ def test_rhat_converged(rng):
     assert abs(rhat(chains) - 1.0) < 0.02
 
 
+def _ar1_chains(rng, C=4, S=4000, phi=0.9):
+    x = np.zeros((C, S))
+    x[:, 0] = rng.normal(size=C) / np.sqrt(1 - phi * phi)
+    for t in range(1, S):
+        x[:, t] = phi * x[:, t - 1] + rng.normal(size=C)
+    return x
+
+
+def test_ess_bulk_ar1(rng):
+    """Bulk-ESS on AR(1) chains matches C*S*(1-phi)/(1+phi) (Vehtari et
+    al. 2021); validates the rank-normalised Geyer estimator."""
+    from bssm_tpu.diagnostics.summary import ess_bulk, ess_tail, rhat_rank
+    phi = 0.9
+    c = _ar1_chains(rng, phi=phi)
+    expected = c.size * (1 - phi) / (1 + phi)
+    e = ess_bulk(c)
+    assert 0.5 * expected < e < 1.8 * expected, (e, expected)
+    assert rhat_rank(c) < 1.03
+    et = ess_tail(c)
+    assert np.isfinite(et) and 0.1 * expected < et < 3.0 * expected
+
+
+def test_ess_bulk_iid(rng):
+    from bssm_tpu.diagnostics.summary import ess_bulk, ess_tail
+    c = rng.normal(size=(4, 2000))
+    assert 0.6 * c.size < ess_bulk(c) < 1.6 * c.size
+    assert ess_tail(c) > 0.25 * c.size
+
+
+def test_rhat_rank_detects_mixing_failure(rng):
+    """Shifted chains: rank-Rhat flags divergence; the folded term flags a
+    pure scale mismatch that the location Rhat misses."""
+    from bssm_tpu.diagnostics.summary import rhat_rank, ess_bulk
+    c = rng.normal(size=(4, 1000))
+    c[0] += 3.0                                   # location shift
+    assert rhat_rank(c) > 1.2
+    s = rng.normal(size=(4, 1000))
+    s[0] *= 4.0                                   # scale-only mismatch
+    assert rhat_rank(s) > 1.05
+    assert ess_bulk(c) < 0.5 * c.size
+
+
 def _poisson_fit(rng, iters=1500, output_type="full", mcmc_type="is2"):
     n = 40
     alpha = np.zeros(n)

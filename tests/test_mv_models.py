@@ -80,6 +80,101 @@ def test_mlg_mcmc_with_update_fn(rng):
     assert out.alpha is not None
 
 
+def test_predict_mv_p1_equals_univariate(rng):
+    """p=1 multivariate predict equals the univariate path exactly for the
+    deterministic outputs (state recursion and mean map,
+    `/root/reference/R/predict.R:190-221`)."""
+    from bssm_tpu.inference.predict import predict
+    from bssm_tpu.models.ssm import ssm_ulg
+    n = 30
+    x = np.cumsum(rng.normal(0, 0.5, n))
+    y = x + rng.normal(0, 1.0, n)
+
+    def upd_u(theta):
+        return {"H": jnp.exp(theta[:1]), "R": jnp.exp(theta[1]).reshape(
+            1, 1, 1)}
+
+    def upd_m(theta):
+        return {"H": jnp.exp(theta[0]).reshape(1, 1, 1),
+                "R": jnp.exp(theta[1]).reshape(1, 1, 1)}
+
+    def prior_fn(theta):
+        return jnp.sum(-0.5 * jnp.square(jnp.exp(theta)) + theta)
+
+    uni = ssm_ulg(y, Z=np.ones(1), H=np.ones(1), T=np.ones((1, 1)),
+                  R=np.full((1, 1), 0.5), P1=np.eye(1) * 10.0,
+                  init_theta=np.log([1.0, 0.5]), update_fn=upd_u,
+                  prior_fn=prior_fn)
+    out = run_mcmc(uni, iter=300, seed=2, output_type="full")
+
+    h = 8
+    fut_u = ssm_ulg(np.full(h, np.nan), Z=np.ones(1), H=np.ones(1),
+                    T=np.ones((1, 1)), R=np.full((1, 1), 0.5),
+                    P1=np.eye(1) * 10.0, init_theta=np.log([1.0, 0.5]),
+                    update_fn=upd_u, prior_fn=prior_fn)
+    fut_m = ssm_mlg(np.full((h, 1), np.nan), Z=np.ones((1, 1)),
+                    H=np.eye(1), T=np.ones((1, 1)), R=np.full((1, 1), 0.5),
+                    P1=np.eye(1) * 10.0, init_theta=np.log([1.0, 0.5]),
+                    update_fn=upd_m, prior_fn=prior_fn)
+    ps_u = predict(out, fut_u, type="state", nsim=64, seed=3)
+    ps_m = predict(out, fut_m, type="state", nsim=64, seed=3)
+    np.testing.assert_allclose(ps_m, ps_u, rtol=1e-12, atol=1e-12)
+    pm_u = predict(out, fut_u, type="mean", nsim=64, seed=3)
+    pm_m = predict(out, fut_m, type="mean", nsim=64, seed=3)
+    np.testing.assert_allclose(pm_m[..., 0], pm_u, rtol=1e-12, atol=1e-12)
+    pr_m = predict(out, fut_m, type="response", nsim=256, seed=3)
+    assert pr_m.shape == (256, h, 1)
+    # response spread = mean spread + obs noise (sd ~ exp(theta_1) ~ 1)
+    assert pr_m.std() > pm_m.std()
+
+
+def test_predict_fitted_mv_mixed(rng):
+    """Bivariate mixed-family (poisson + gaussian) predictive moments
+    (`/root/reference/R/predict.R:296-327`)."""
+    from bssm_tpu.inference.predict import fitted, predict
+    n = 35
+    lvl = np.cumsum(rng.normal(0, 0.3, n))
+    y = np.stack([rng.poisson(np.exp(lvl)).astype(float),
+                  lvl + rng.normal(0, 0.5, n)], axis=1)
+
+    def update_fn(theta):
+        return {"R": jnp.exp(theta[0]).reshape(1, 1, 1)}
+
+    def prior_fn(theta):
+        return -0.5 * jnp.square(jnp.exp(theta[0])) + theta[0]
+
+    def build_model(yy):
+        return ssm_mng(yy, Z=np.ones((2, 1)), T=np.ones((1, 1)),
+                       R=np.full((1, 1), 0.3),
+                       distributions=["poisson", "gaussian"],
+                       phi=np.array([1.0, 0.5]), P1=np.eye(1) * 5.0,
+                       init_theta=np.log([0.3]), update_fn=update_fn,
+                       prior_fn=prior_fn)
+
+    model = build_model(y)
+    out = run_mcmc(model, iter=600, particles=10, mcmc_type="is2", seed=4,
+                   output_type="full")
+    h = 6
+    future = build_model(np.full((h, 2), np.nan))
+    pm = predict(out, future, type="mean", nsim=400, seed=1)
+    pr = predict(out, future, type="response", nsim=400, seed=1)
+    assert pm.shape == (400, h, 2) and pr.shape == (400, h, 2)
+    assert np.all(pm[..., 0] > 0)                 # poisson mean positive
+    # gaussian series: response = mean + N(0, phi^2), phi = 0.5
+    resid = pr[..., 1] - pm[..., 1]
+    assert abs(resid.std() - 0.5) < 0.12
+    # poisson series: response mean tracks the predictive mean
+    np.testing.assert_allclose(pr[..., 0].mean(axis=0),
+                               pm[..., 0].mean(axis=0), rtol=0.3, atol=0.5)
+    # fitted replays the smoothed states through the obs equation
+    ft = fitted(out, model, type="mean")
+    assert ft.shape[1:] == (n, 2)
+    # fitted poisson mean tracks the true latent intensity exp(lvl)
+    assert np.corrcoef(ft[..., 0].mean(axis=0), np.exp(lvl))[0, 1] > 0.6
+    # fitted gaussian mean tracks the latent level
+    assert np.corrcoef(ft[..., 1].mean(axis=0), lvl)[0, 1] > 0.6
+
+
 def test_mng_bivariate_mixed_mcmc(rng):
     n = 35
     lvl = np.cumsum(rng.normal(0, 0.3, n))

@@ -61,6 +61,16 @@ def test_ekf_smoother_equals_ks_linear(linear_case):
                                atol=1e-10)
 
 
+def test_ekf_fast_smoother_means_only(linear_case):
+    """ekf_fast_smoother returns exactly the full smoother's means
+    (`/root/reference/src/model_ssm_nlg.cpp:483-556`)."""
+    model, spec, lg = linear_case
+    sm = nlg_mod.ekf_smoother(spec)
+    fast = nlg_mod.ekf_fast_smoother(spec)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(sm.alphahat),
+                               rtol=1e-8, atol=1e-10)
+
+
 def test_approximate_linear_is_exact(linear_case):
     model, spec, lg = linear_case
     ap = nlg_mod.approximate_nlg(spec)

@@ -44,12 +44,76 @@ def test_sharded_is2_correction(rng):
     assert out.alphahat is not None and np.all(np.isfinite(out.alphahat))
 
 
+def test_sharded_is2_equals_unsharded(rng):
+    """mesh-sharded is2 reproduces the unsharded run at identical keys —
+    the correction is embarrassingly parallel, so sharding must be a pure
+    placement decision (`/root/reference/src/approx_mcmc.cpp:364-368`)."""
+    n = 20
+    y = rng.poisson(np.exp(np.cumsum(rng.normal(0, 0.2, n)))).astype(float)
+    model = ar1_ng(y, rho=uniform_prior(0.6, -0.99, 0.99),
+                   sigma=halfnormal_prior(0.4, 1.0),
+                   distribution="poisson")
+    mesh = make_mesh(8, axes=("chains", "draws"), shape=(4, 2))
+    kw = dict(iter=200, particles=4, mcmc_type="is2", seed=5,
+              output_type="summary", n_chains=4, corr_batch=64)
+    sharded = run_mcmc(model, mesh=mesh, **kw)
+    plain = run_mcmc(model, mesh=None, **kw)
+    np.testing.assert_allclose(sharded.theta, plain.theta, rtol=1e-12)
+    np.testing.assert_allclose(sharded.posterior, plain.posterior,
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(sharded.alphahat, plain.alphahat,
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(sharded.Vt, plain.Vt, rtol=1e-7, atol=1e-9)
+
+
+def test_fused_kernels_under_sharded_mesh(rng):
+    """The Pallas kernel path (interpret mode on CPU) runs inside shard_map
+    on a sharded mesh and matches the scan path — de-risks the TPU
+    multi-chip fused-kernel configuration."""
+    from bssm_tpu.core import config as _config
+    n = 20
+    alpha = np.zeros(n)
+    for t in range(1, n):
+        alpha[t] = 0.7 * alpha[t - 1] + 0.4 * rng.normal()
+    y = rng.poisson(np.exp(alpha)).astype(float)
+
+    def build():
+        # fresh model per config: the jit caches must not leak between
+        # fused/scan variants (config is read at trace time)
+        return ar1_ng(y, rho=uniform_prior(0.6, -0.99, 0.99),
+                      sigma=halfnormal_prior(0.4, 1.0),
+                      distribution="poisson")
+
+    mesh = make_mesh(8, axes=("chains", "draws"), shape=(4, 2))
+    kw = dict(iter=120, particles=4, mcmc_type="is2", seed=3,
+              output_type="theta", n_chains=4, mesh=mesh, corr_batch=32)
+    old = _config.fused_kernels
+    try:
+        _config.set_fused_kernels(True)       # interpret-mode Pallas on CPU
+        fused = run_mcmc(build(), **kw)
+    finally:
+        _config.set_fused_kernels(old)
+    scan = run_mcmc(build(), **kw)
+    assert np.all(np.isfinite(fused.posterior))
+    # the fused Laplace solve matches the scan path to ~conv_tol per eval;
+    # the continuous RAM adaptation integrates that noise over iterations,
+    # so the chains track each other closely but not bitwise
+    np.testing.assert_allclose(fused.theta, scan.theta, rtol=0.02,
+                               atol=1e-3)
+    np.testing.assert_allclose(fused.posterior, scan.posterior, rtol=1e-3,
+                               atol=0.05)
+
+
 def test_distributed_helpers_single_process():
     """initialize() is a no-op single-process; global_mesh covers all
-    devices; local_chain_slice owns the whole axis."""
+    devices; local_chain_slice owns the whole axis; an explicit coordinator
+    without a process count raises instead of silently running standalone."""
     from bssm_tpu.parallel.distributed import (global_mesh, initialize,
                                                local_chain_slice)
     assert initialize() is False
     mesh = global_mesh(("chains", "draws"), shape=(4, 2))
     assert dict(mesh.shape) == {"chains": 4, "draws": 2}
     assert local_chain_slice(100) == slice(0, 100)
+    import pytest
+    with pytest.raises(ValueError):
+        initialize(coordinator_address="10.0.0.1:1234")

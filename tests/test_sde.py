@@ -67,6 +67,63 @@ def test_bsf_levels_consistent():
     assert abs(ll5.mean() - ll6.mean()) < 3 * (ll5.std() + ll6.std()) + 0.5
 
 
+def test_coupled_coarse_fine_estimators():
+    """Same-key coarse (L_c) and fine (L_f) BSFs with couple=True share
+    Brownian paths: their log-likelihoods are positively correlated and the
+    multilevel IS weight ll_f - ll_c has a smaller spread than with
+    independent keys (`/root/reference/src/model_ssm_sde.h:45-48`,
+    `/root/reference/src/approx_mcmc.cpp:522-591`)."""
+    y = simulate_gbm(n=15)
+    model = sde_gbm(y, L_f=5, L_c=2)
+    spec = model.build(model.theta_init)
+    keys = jax.random.split(jax.random.PRNGKey(0), 100)
+    keys2 = jax.random.split(jax.random.PRNGKey(99), 100)
+    runc = jax.jit(jax.vmap(
+        lambda k: bsf_filter_sde(spec, 32, 2, k, couple=True).loglik))
+    runf = jax.jit(jax.vmap(
+        lambda k: bsf_filter_sde(spec, 32, 5, k, couple=True).loglik))
+    llc = np.asarray(runc(keys))
+    llf = np.asarray(runf(keys))
+    llf_ind = np.asarray(runf(keys2))
+    r = np.corrcoef(llc, llf)[0, 1]
+    assert r > 0.2, r
+    assert np.std(llf - llc) < 0.8 * np.std(llf_ind - llc)
+
+
+def test_coupled_milstein_gen_level():
+    """milstein(gen_L=L_f) at the coarse level consumes the summed fine
+    increments: coarse and fine terminal values from the same key stay
+    close (the milstein_coupled identity)."""
+    model = sde_gbm(np.zeros(1), L_f=7, L_c=3)
+    spec = model.build(jnp.asarray([0.05, 0.2, 1.5]))
+    keys = jax.random.split(jax.random.PRNGKey(1), 300)
+    xf = jax.vmap(lambda k: milstein(spec, jnp.asarray(1.0), k, 7,
+                                     gen_L=7))(keys)
+    xc = jax.vmap(lambda k: milstein(spec, jnp.asarray(1.0), k, 3,
+                                     gen_L=7))(keys)
+    diff = np.asarray(xf - xc)
+    assert np.abs(diff).mean() < 0.2 * np.asarray(xf).std()
+
+
+def test_sde_mcmc_interleaved_particle_counts():
+    """Two sde models with different particle counts interleaved in one
+    process produce independent, correct runs (regression for the former
+    module-global coarse particle count)."""
+    y = simulate_gbm(n=12)
+    m1 = sde_gbm(y, L_f=4, L_c=2)
+    m2 = sde_gbm(y + 0.1, L_f=4, L_c=2)
+    o1a = run_mcmc(m1, iter=150, particles=8, mcmc_type="is2", seed=1,
+                   output_type="theta")
+    o2 = run_mcmc(m2, iter=150, particles=16, mcmc_type="is2", seed=1,
+                  output_type="theta")
+    o1b = run_mcmc(m1, iter=150, particles=8, mcmc_type="is2", seed=1,
+                   output_type="theta")
+    assert np.all(np.isfinite(o2.posterior))
+    # the interleaved run with different particles must not perturb m1
+    np.testing.assert_array_equal(o1a.theta, o1b.theta)
+    np.testing.assert_array_equal(o1a.weights, o1b.weights)
+
+
 def test_sde_mcmc_variants():
     y = simulate_gbm(n=15)
     model = sde_gbm(y, L_f=4, L_c=2)
