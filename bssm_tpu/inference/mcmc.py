@@ -118,12 +118,24 @@ def _ram_scan(logdens: Callable, log_prior: Callable, theta0, S0, key,
 # results container
 # --------------------------------------------------------------------------
 
+_LAZY_ARRAY_FIELDS = frozenset((
+    "theta", "posterior", "accepted", "S", "alpha", "alphahat", "Vt",
+    "weights", "modes", "approx_loglik", "prior", "theta_sampled"))
+
+
 @dataclasses.dataclass
 class McmcOutput:
     """Posterior sample container (dense storage, chain axis first).
 
     theta is reported in the *natural* space (log-sampled parameters
-    exponentiated back, `/root/reference/R/run_mcmc.R:255-261`)."""
+    exponentiated back, `/root/reference/R/run_mcmc.R:255-261`).
+
+    Array fields are **device-lazy**: `run_mcmc` stores the device arrays it
+    computed (after `block_until_ready`, so the run is complete) and the
+    device->host copy happens on first attribute access, converting to a
+    cached numpy array.  Consumers always see plain numpy; producers never
+    pay for transfers of fields the caller does not touch (e.g. the
+    (chains, S, n) Laplace-mode stack)."""
     theta: np.ndarray            # (chains, S, d)
     posterior: np.ndarray        # (chains, S)
     accepted: np.ndarray         # (chains, S) jump-chain head flags
@@ -146,6 +158,14 @@ class McmcOutput:
     theta_sampled: Optional[np.ndarray] = None  # (chains, S, d) sampled-space
     # copy stored alongside modes so post_correct replays bit-exactly
     # (avoids the exp/log round-trip through the natural-space theta)
+
+    def __getattribute__(self, name):
+        v = object.__getattribute__(self, name)
+        if name in _LAZY_ARRAY_FIELDS and v is not None \
+                and not isinstance(v, np.ndarray):
+            v = np.asarray(v)
+            object.__setattr__(self, name, v)
+        return v
 
     @property
     def counts(self) -> np.ndarray:
@@ -1183,14 +1203,16 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
         else a, res)
     t_mcmc = _time.time() - t0
 
-    posterior0 = (np.asarray(res["posterior"]) if "posterior" in res
-                  else np.zeros(res["theta"].shape[:2]))
+    # all result arrays stay on device (lazy McmcOutput fields); only the
+    # scalar acceptance rate syncs here
+    posterior0 = (res["posterior"] if "posterior" in res
+                  else jnp.zeros(res["theta"].shape[:2]))
     out = McmcOutput(
-        theta=np.asarray(model.to_natural(res["theta"])),
+        theta=model.to_natural(res["theta"]),
         posterior=posterior0,
-        accepted=np.asarray(res["accepted"]),
+        accepted=res["accepted"],
         acceptance_rate=float(np.mean(np.asarray(res["acc_rate"]))),
-        S=np.asarray(res["S"]),
+        S=res["S"],
         theta_names=model.theta_names, mcmc_type=mcmc_type,
         output_type=output_type, iter=iter, burnin=burnin, thin=thin)
 
@@ -1199,7 +1221,7 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
     n1m_shape = (spec00.n + 1, spec00.m)
     if mcmc_type in ("gaussian", "ekf"):
         if output_type == "full" and "alpha" in res:
-            out.alpha = np.asarray(res["alpha"]).reshape(
+            out.alpha = res["alpha"].reshape(
                 res["alpha"].shape[:2] + n1m_shape)
         elif output_type == "summary" and "alphahat" in res:
             # across chains: law of total variance again — per-chain Vt
@@ -1209,34 +1231,33 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
             ahat_c, vt_c = res["alphahat"], res["Vt"]
             mean = jnp.mean(ahat_c, axis=0)
             dev = ahat_c - mean
-            out.alphahat = np.asarray(mean)
-            out.Vt = np.asarray(jnp.mean(vt_c, axis=0)
-                                + jnp.einsum('cti,ctj->tij', dev, dev)
-                                / ahat_c.shape[0])
+            out.alphahat = mean
+            out.Vt = (jnp.mean(vt_c, axis=0)
+                      + jnp.einsum('cti,ctj->tij', dev, dev)
+                      / ahat_c.shape[0])
     elif mcmc_type in ("pm", "da"):
         if output_type == "full":
-            out.alpha = np.asarray(res["alpha"]).reshape(
+            out.alpha = res["alpha"].reshape(
                 res["alpha"].shape[:2] + n1m_shape)
     elif mcmc_type == "approx":
-        out.prior = np.asarray(res["prior"])
-        out.approx_loglik = np.asarray(res["approx_ll"])
-        out.posterior = out.prior + out.approx_loglik
+        out.prior = res["prior"]
+        out.approx_loglik = res["approx_ll"]
+        out.posterior = res["prior"] + res["approx_ll"]
         if output_type == "full":
             t1 = _time.time()
-            draws = _approx_state_draws(model, res, is_key)
-            out.alpha = np.asarray(draws)
+            out.alpha = _approx_state_draws(model, res, is_key)
         if store_modes:
-            out.modes = np.asarray(res["modes"])
-            out.theta_sampled = np.asarray(res["theta"])
+            out.modes = res["modes"]
+            out.theta_sampled = res["theta"]
     else:  # is1 / is2 / is3
-        out.prior = np.asarray(res["prior"])
-        out.approx_loglik = np.asarray(res["approx_ll"])
+        out.prior = res["prior"]
+        out.approx_loglik = res["approx_ll"]
         if store_modes:
             # (chains, S, n) — only needed afterwards by
             # post_correct/checkpointing; the correction itself reads the
             # device-resident copies
-            out.modes = np.asarray(res["modes"])
-            out.theta_sampled = np.asarray(res["theta"])
+            out.modes = res["modes"]
+            out.theta_sampled = res["theta"]
         t1 = _time.time()
         is_type = int(mcmc_type[-1])
         C, Sn = res["theta"].shape[:2]
@@ -1273,17 +1294,19 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
                        res["approx_ll"], is_key)
         post = jax.tree_util.tree_map(
             lambda a: a.block_until_ready(), post)
-        log_w = np.asarray(post["log_w"])
+        log_w = post["log_w"]
         # store weights shifted by the global max so exp never overflows
-        # (IS averages are scale-invariant)
-        shift = np.max(log_w[np.isfinite(log_w)], initial=0.0)
-        out.weights = np.exp(log_w - shift)
-        out.posterior = out.prior + out.approx_loglik + log_w
+        # (IS averages are scale-invariant); all on device — host sees
+        # these lazily
+        mx = jnp.max(jnp.where(jnp.isfinite(log_w), log_w, -jnp.inf))
+        shift = jnp.maximum(jnp.where(jnp.isfinite(mx), mx, 0.0), 0.0)
+        out.weights = jnp.exp(log_w - shift)
+        out.posterior = res["prior"] + res["approx_ll"] + log_w
         if want_states:
-            out.alpha = np.asarray(post["alpha"])
+            out.alpha = post["alpha"]
         elif want_moments:
-            out.alphahat = np.asarray(post["alphahat"])
-            out.Vt = np.asarray(post["Vt"])
+            out.alphahat = post["alphahat"]
+            out.Vt = post["Vt"]
         out.time = {"mcmc": t_mcmc, "correction": _time.time() - t1}
 
     if out.time is None:

@@ -83,19 +83,21 @@ def post_correct(model: Model, output: McmcOutput, particles: int,
     post = jax.tree_util.tree_map(lambda a: a.block_until_ready(), post)
 
     out = copy.copy(output)
-    log_w = np.asarray(post["log_w"])
+    log_w = post["log_w"]
     # non-finite corrections -> zero weight; store max-shifted (IS averages
-    # are scale-invariant, exp never overflows), as in run_mcmc
-    shift = np.max(log_w[np.isfinite(log_w)], initial=0.0)
-    out.weights = np.exp(log_w - shift)
+    # are scale-invariant, exp never overflows), as in run_mcmc; results
+    # stay on device (lazy McmcOutput fields)
+    mx = jnp.max(jnp.where(jnp.isfinite(log_w), log_w, -jnp.inf))
+    shift = jnp.maximum(jnp.where(jnp.isfinite(mx), mx, 0.0), 0.0)
+    out.weights = jnp.exp(log_w - shift)
     out.posterior = (output.prior if output.prior is not None else 0.0) \
         + (output.approx_loglik if output.approx_loglik is not None
-           else 0.0) + log_w
+           else 0.0) + np.asarray(log_w)
     if want_states:
-        out.alpha = np.asarray(post["alpha"])
+        out.alpha = post["alpha"]
     elif want_moments:
-        out.alphahat = np.asarray(post["alphahat"])
-        out.Vt = np.asarray(post["Vt"])
+        out.alphahat = post["alphahat"]
+        out.Vt = post["Vt"]
     out.mcmc_type = f"is{is_type}"
     out.output_type = output_type
     out.time = dict(output.time or {}, correction=_time.time() - t0)

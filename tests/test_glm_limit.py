@@ -94,4 +94,8 @@ def test_mcmc_linear_in_series_length(rng):
         run_mcmc(model, iter=300, seed=2, output_type="theta")
         times[n] = time.time() - t0
     ratio = times[2048] / times[512]
+    from parity_record import record
+    record("mcmc_linear_in_series_length",
+           {"t_512": times[512], "t_2048": times[2048], "ratio": ratio},
+           {"ratio": ["< 8.0 (4x data, 2x slack over linear)", 8.0]})
     assert ratio < 8.0, times   # 4x data -> at most ~2x slack over linear

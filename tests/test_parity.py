@@ -18,6 +18,7 @@ from bssm_tpu.diagnostics.summary import weighted_mean
 from bssm_tpu.inference.mcmc import run_mcmc
 from bssm_tpu.models.bsm import bsm_ng
 from bssm_tpu.utils.rdata import load_rda
+from parity_record import record
 
 DATA = "/root/reference/data"
 
@@ -46,6 +47,11 @@ def test_negbin_paper_parity():
     a = out.alpha.reshape((-1,) + out.alpha.shape[2:])
     lvl = weighted_mean(a[:, 199, 0], w)
     slp = weighted_mean(a[:, 199, 1], w)
+    record("negbin_paper_parity",
+           dict(means, level_200=lvl, slope_200=slp),
+           {"beta": [-0.912, 0.05], "phi": [5.392, 0.35],
+            "sd_level": [0.092, 0.02], "sd_slope": [0.003, 0.006],
+            "level_200": [6.962, 0.05], "slope_200": [0.006, 0.01]})
     assert abs(lvl - 6.962) < 0.05
     assert abs(slp - 0.006) < 0.01
 
@@ -64,11 +70,17 @@ def test_poisson_series_doc_parity():
     th = out.flat_theta()
     means = dict(zip(out.theta_names,
                      [weighted_mean(th[:, j], w) for j in range(2)]))
+    a = out.alpha.reshape((-1,) + out.alpha.shape[2:])
+    lvl1 = weighted_mean(a[:, 0, 0], w)
+    lvl100 = weighted_mean(a[:, 99, 0], w)
+    record("poisson_series_doc_parity",
+           dict(means, level_1=lvl1, level_100=lvl100),
+           {"sd_level": [0.093, 0.02], "sd_slope": [0.016, 0.012],
+            "level_1": [-0.075, 0.12], "level_100": [2.618, 0.12]})
     assert abs(means["sd_level"] - 0.093) < 0.02
     assert abs(means["sd_slope"] - 0.016) < 0.012
-    a = out.alpha.reshape((-1,) + out.alpha.shape[2:])
-    assert abs(weighted_mean(a[:, 0, 0], w) - (-0.075)) < 0.12
-    assert abs(weighted_mean(a[:, 99, 0], w) - 2.618) < 0.12
+    assert abs(lvl1 - (-0.075)) < 0.12
+    assert abs(lvl100 - 2.618) < 0.12
 
 
 def test_datasets_load():
@@ -98,6 +110,10 @@ def test_drownings_poisson_consistency():
                   mcmc_type="da", seed=2, output_type="theta", n_chains=2)
     m1 = np.average(o1.flat_theta(), axis=0, weights=o1.flat_weights())
     m2 = o2.flat_theta().mean(axis=0)
+    record("drownings_poisson_consistency",
+           {f"is2_{nm}": v for nm, v in zip(o1.theta_names, m1)}
+           | {f"da_{nm}": v for nm, v in zip(o2.theta_names, m2)},
+           {"agreement": ["is2 == da", "rtol 0.4 atol 0.01"]})
     np.testing.assert_allclose(m1, m2, rtol=0.4, atol=0.01)
     assert np.all(np.isfinite(m1))
 
@@ -116,6 +132,10 @@ def test_exchange_svm_consistency():
                   mcmc_type="pm", seed=4, output_type="theta", n_chains=2)
     m1 = np.average(o1.flat_theta(), axis=0, weights=o1.flat_weights())
     m2 = o2.flat_theta().mean(axis=0)
+    record("exchange_svm_consistency",
+           {f"is2_{nm}": v for nm, v in zip(o1.theta_names, m1)}
+           | {f"pm_{nm}": v for nm, v in zip(o2.theta_names, m2)},
+           {"agreement": ["is2 == pm", "tols (0.05, 0.05, 0.12)"]})
     assert 0.8 < m1[0] < 1.0          # persistent volatility on full data
     for a, b, tol in zip(m1, m2, (0.05, 0.05, 0.12)):
         assert abs(a - b) < tol, (m1, m2)
