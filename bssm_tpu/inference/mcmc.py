@@ -419,9 +419,13 @@ def _family_ops(model: Model, conv_tol, max_iter,
     if model.kind == "ng":
         if local_approx:
             def approx_eval(spec, key, mode_prev=None):
+                # ALWAYS cold-start the Laplace iteration from the
+                # data-derived mode (reference `model_ssm_ung.cpp:217`):
+                # warm-starting from the carried mode makes the approximate
+                # posterior history-dependent and measurably breaks negbin
+                # parity (phi 3.0 vs published 5.39; PARITY_r03 bisect)
                 al = approx_mod.approx_loglik(spec, conv_tol=conv_tol,
-                                              max_iter=max_iter,
-                                              mode0=mode_prev)
+                                              max_iter=max_iter)
                 return al.loglik, al.approx.mode
         else:
             # global approximation: (ytilde, Htilde) fixed at the initial
@@ -504,9 +508,9 @@ def _family_ops(model: Model, conv_tol, max_iter,
 
         if local_approx:
             def approx_eval(spec, key, mode_prev=None):
+                # cold start only — see the ng branch note
                 al = mv_mod.approx_loglik_mv(spec, conv_tol=conv_tol,
-                                             max_iter=max_iter,
-                                             mode0=mode_prev)
+                                             max_iter=max_iter)
                 return al.loglik, al.approx.mode
         else:
             ap0 = mv_mod.approximate_mv(model.build(model.theta_init),
@@ -594,11 +598,12 @@ def _approx_chain(model: Model, n_iter, burnin, thin, target, gamma,
             ll, _ = ops.approx_eval(spec, key)
             return ll, ll, key
     else:
-        # aux carries the converged Laplace mode; warm-starting the next
-        # proposal's mode iteration from it typically converges in 1-2 steps
+        # aux carries the converged Laplace mode of the CURRENT state so it
+        # is stored per accepted draw for the IS correction (it is NOT fed
+        # back into the next evaluation — cold start, see _family_ops)
         def logdens(theta, key, aux):
             spec = model.build(theta)
-            ll, mode = ops.approx_eval(spec, key, aux)
+            ll, mode = ops.approx_eval(spec, key)
             return ll, ll, mode
 
     def chain(key, theta0, S0):
