@@ -42,6 +42,9 @@ LANES = 128
 _MAX_M = 4
 # VMEM budget guard: scratch rows ~ n * (2 + 3m + mm) * LANES * 4B
 _VMEM_LIMIT_BYTES = 10 * 1024 * 1024
+# sublane-packing budget: scratch + double-buffered io tiles must fit VMEM
+# (~16 MB/core on v5e); leave headroom for the compiler
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _supported(n: int, m: int) -> bool:
@@ -49,12 +52,28 @@ def _supported(n: int, m: int) -> bool:
     return m <= _MAX_M and rows * LANES * 4 < _VMEM_LIMIT_BYTES
 
 
+def _pick_subs(scratch_rows: int, io_rows: int, B: int,
+               itemsize: int = 4) -> int:
+    """Sublanes-per-block multiplicity: every kernel "row" op processes a
+    (SUBS, 128) tile, so SUBS=8 uses the full 8x128 VPU instead of 1/8 of
+    it.  Pick the largest SUBS whose VMEM footprint (scratch + pipelined
+    double-buffered io blocks) fits, without padding small batches up."""
+    for s in (8, 4, 2, 1):
+        if s > 1 and B < s * LANES:
+            continue
+        if (scratch_rows + 2 * io_rows) * s * LANES * itemsize \
+                < _VMEM_BUDGET:
+            return s
+    return 1
+
+
 def _load_system(m, z_ref, t_ref, rr_ref, a1_ref, p1_ref, c_ref):
-    """Unpack the time-invariant system rows into per-element lane vectors."""
+    """Unpack the time-invariant system rows into per-element (SUBS, LANES)
+    tiles."""
     mm = m * m
 
     def row(ref, i):
-        return ref[i, :]
+        return ref[i]
 
     Z = [row(z_ref, i) for i in range(m)]
     T = [[row(t_ref, i * m + j) for j in range(m)] for i in range(m)]
@@ -68,7 +87,7 @@ def _load_system(m, z_ref, t_ref, rr_ref, a1_ref, p1_ref, c_ref):
 def _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv, a0, P0,
                     v_s, f_s, ok_s, k_s, at_s, pt_s, get_obs=None):
     """Masked Joseph-form Kalman forward pass, staging per-time stats into
-    VMEM scratch.  Returns (a_n, P_n, ll) lane vectors; shared by the
+    VMEM scratch.  Returns (a_n, P_n, ll) (SUBS, LANES) tiles; shared by the
     fast-smoother, loglik, RTS, and Laplace-step kernels.
 
     ``get_obs(t) -> (y, h2, d)`` overrides reading the observation rows —
@@ -81,9 +100,9 @@ def _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv, a0, P0,
     def fwd(t, carry):
         a, P, ll = carry
         if get_obs is None:
-            y = y_ref[t, :]
-            h2 = h2_ref[t, :]
-            d = d_ref[t, :]
+            y = y_ref[t]
+            h2 = h2_ref[t]
+            d = d_ref[t]
         else:
             y, h2, d = get_obs(t)
         # sanitize NaN pseudo-variances at missing y (see ops/kalman._update)
@@ -151,41 +170,42 @@ def _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv, a0, P0,
                   for i in range(m) for j in range(m)]
         ll = ll + okf * (-0.5 * (LOG2PI + jnp.log(Fs) + v * v / Fs))
         # stage stats for the backward pass
-        v_s[t, :] = v
-        f_s[t, :] = Fs
-        ok_s[t, :] = okf
+        v_s[t] = v
+        f_s[t] = Fs
+        ok_s[t] = okf
         for i in range(m):
-            k_s[t * m + i, :] = K[i]
-            at_s[t * m + i, :] = a[i]
+            k_s[t * m + i] = K[i]
+            at_s[t * m + i] = a[i]
         for ij in range(mm):
-            pt_s[t * mm + ij, :] = P[ij]
+            pt_s[t * mm + ij] = P[ij]
         return a_next, P_next, ll
 
     a_n, P_n, ll = jax.lax.fori_loop(0, n, fwd, (a0, P0, ll0))
     for i in range(m):
-        at_s[n * m + i, :] = a_n[i]
+        at_s[n * m + i] = a_n[i]
     for ij in range(mm):
-        pt_s[n * mm + ij, :] = P_n[ij]
+        pt_s[n * mm + ij] = P_n[ij]
     return a_n, P_n, ll
 
 
 def _kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
             a1_ref, p1_ref, c_ref, alpha_ref, ll_ref,
             v_s, f_s, ok_s, k_s, at_s, pt_s):
-    """One lane-block of chains.  All refs are 2D (rows, LANES) in VMEM.
+    """One block of SUBS*LANES chains.  All refs are 3D (rows, SUBS, LANES)
+    in VMEM, so every per-row op is a full (8, 128) vreg tile.
 
-    Row layouts: y/h2/d (n, L); z/c/a1 (m, L); t/rr/p1 (m*m, L) with row
-    i*m+j = element (i, j); outputs alpha ((n+1)*m, L), ll (1, L); scratch
-    v/f/ok (n, L), k (n*m, L), at ((n+1)*m, L), pt ((n+1)*m*m, L).
+    Row layouts: y/h2/d (n,); z/c/a1 (m,); t/rr/p1 (m*m,) with row
+    i*m+j = element (i, j); outputs alpha ((n+1)*m,), ll (1,); scratch
+    v/f/ok (n,), k (n*m,), at ((n+1)*m,), pt ((n+1)*m*m,).
     """
     mm = m * m
     Z, T, RR, Cv, a0, P0 = _load_system(m, z_ref, t_ref, rr_ref, a1_ref,
                                         p1_ref, c_ref)
     a_n, P_n, ll = _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv,
                                    a0, P0, v_s, f_s, ok_s, k_s, at_s, pt_s)
-    ll_ref[0, :] = ll
+    ll_ref[0] = ll
     for i in range(m):
-        alpha_ref[n * m + i, :] = a_n[i]
+        alpha_ref[n * m + i] = a_n[i]
 
     # backward mean pass: r_{t-1} = ok (Z v/F + L' r_t) + (1-ok) T' r_t,
     # L = T (I - K Z');  alphahat_t = a_t + P_t r_{t-1}   (DK eq. 4.44)
@@ -193,10 +213,10 @@ def _kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
 
     def bwd(i, r):
         t = n - 1 - i
-        v = v_s[t, :]
-        F = f_s[t, :]
-        okf = ok_s[t, :]
-        K = [k_s[t * m + i2, :] for i2 in range(m)]
+        v = v_s[t]
+        F = f_s[t]
+        okf = ok_s[t]
+        K = [k_s[t * m + i2] for i2 in range(m)]
         # TK_i = (T K)_i ;  L_ij = T_ij - TK_i Z_j ; need L' r = sum_i L_ij r_i
         TK = []
         for i2 in range(m):
@@ -217,10 +237,10 @@ def _kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
         r_new = [okf * (Z[j] * (v / F) + Ltr[j]) + (1.0 - okf) * Ttr[j]
                  for j in range(m)]
         for i2 in range(m):
-            s = at_s[t * m + i2, :]
+            s = at_s[t * m + i2]
             for j in range(m):
-                s = s + pt_s[t * mm + i2 * m + j, :] * r_new[j]
-            alpha_ref[t * m + i2, :] = s
+                s = s + pt_s[t * mm + i2 * m + j] * r_new[j]
+            alpha_ref[t * m + i2] = s
         return r_new
 
     jax.lax.fori_loop(0, n, bwd, r0)
@@ -236,47 +256,87 @@ def _ll_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
                                         p1_ref, c_ref)
     _, _, ll = _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv,
                                a0, P0, v_s, f_s, ok_s, k_s, at_s, pt_s)
-    ll_ref[0, :] = ll
+    ll_ref[0] = ll
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "interpret"))
-def _fused_ll_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, interpret=False):
+def _tiles(Cn, subs, dt):
+    """Shared (rows, SUBS, LANES) tiling helpers for the call wrappers:
+    chains live at (c // LANES, c % LANES) in the trailing dims; the grid
+    walks SUBS sublane-groups per block."""
+
+    def lanes_last(x, rows):
+        return jnp.swapaxes(x.reshape(x.shape[0], rows), 0, 1).reshape(
+            rows, Cn // LANES, LANES)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, subs, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def out_sd(rows):
+        return jax.ShapeDtypeStruct((rows, Cn // LANES, LANES), dt)
+
+    def unpack(x):
+        return jnp.swapaxes(x.reshape(x.shape[0], Cn), 0, 1)
+
+    def scratch(rows):
+        return pltpu.VMEM((rows, subs, LANES), dt)
+
+    return lanes_last, spec, out_sd, unpack, scratch
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "subs", "interpret"))
+def _fused_ll_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, subs=1,
+                   interpret=False):
     Cn = y.shape[0]
     dt = y.dtype
     mm = m * m
-
-    def lanes_last(x, rows):
-        return jnp.swapaxes(x.reshape(Cn, rows), 0, 1)
+    lanes_last, spec, out_sd, unpack, scratch_t = _tiles(Cn, subs, dt)
 
     args = (lanes_last(y, n), lanes_last(h2, n), lanes_last(d, n),
             lanes_last(z, m), lanes_last(t, mm), lanes_last(rr, mm),
             lanes_last(a1, m), lanes_last(p1, mm), lanes_last(c, m))
-    grid = (Cn // LANES,)
-
-    def spec(rows):
-        return pl.BlockSpec((rows, LANES), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
+    grid = (Cn // (subs * LANES),)
 
     in_specs = [spec(n), spec(n), spec(n), spec(m), spec(mm), spec(mm),
                 spec(m), spec(mm), spec(m)]
     scratch = [
-        pltpu.VMEM((n, LANES), dt),
-        pltpu.VMEM((n, LANES), dt),
-        pltpu.VMEM((n, LANES), dt),
-        pltpu.VMEM((n * m, LANES), dt),
-        pltpu.VMEM(((n + 1) * m, LANES), dt),
-        pltpu.VMEM(((n + 1) * mm, LANES), dt),
+        scratch_t(n),
+        scratch_t(n),
+        scratch_t(n),
+        scratch_t(n * m),
+        scratch_t((n + 1) * m),
+        scratch_t((n + 1) * mm),
     ]
     ll = pl.pallas_call(
         functools.partial(_ll_kernel, n, m),
         grid=grid,
         in_specs=in_specs,
         out_specs=spec(1),
-        out_shape=jax.ShapeDtypeStruct((1, Cn), dt),
+        out_shape=out_sd(1),
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
-    return ll[0]
+    return ll.reshape(Cn)
+
+
+def _pad_block(arrays, B, subs):
+    pad = (-B) % (subs * LANES)
+    if not pad:
+        return arrays
+
+    def padc(x):
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+
+    return [padc(x) for x in arrays]
+
+
+def _kf_rows(n, m):
+    """(scratch_rows, io_rows) of the shared forward-filter footprint."""
+    mm = m * m
+    scratch = 3 * n + n * m + (n + 1) * m + (n + 1) * mm
+    io = 3 * n + 3 * m + 3 * mm + 1
+    return scratch, io
 
 
 def fused_log_likelihood_batched(spec, axis_size, interpret=False):
@@ -286,17 +346,12 @@ def fused_log_likelihood_batched(spec, axis_size, interpret=False):
         return None
     y, h2, d, z, t, rr, a1, p1, c, n, m = prep
     B = y.shape[0]
-    pad = (-B) % LANES
-    if pad:
-        def padc(x):
-            return jnp.concatenate(
-                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
-        y, h2, d, z, t, rr, a1, p1, c = map(
-            padc, (y, h2, d, z, t, rr, a1, p1, c))
-    ll = _fused_ll_call(y, h2, d, z, t, rr, a1, p1, c, n=n, m=m,
+    subs = _pick_subs(*_kf_rows(n, m), B)
+    y, h2, d, z, t, rr, a1, p1, c = _pad_block(
+        (y, h2, d, z, t, rr, a1, p1, c), B, subs)
+    ll = _fused_ll_call(y, h2, d, z, t, rr, a1, p1, c, n=n, m=m, subs=subs,
                         interpret=interpret)
-    if pad:
-        ll = ll[:B]
+    ll = ll[:B]
     degenerate = (jnp.sum(h2[:B], axis=-1)
                   + jnp.sum(jnp.abs(rr[:B]), axis=(-1, -2))) < ZERO_TOL
     return jnp.where(degenerate, -jnp.inf, ll)
@@ -324,40 +379,33 @@ def _log_likelihood_vmap(axis_size, in_batched, spec):
     return jax.vmap(kalman.log_likelihood, in_axes=(axes,))(spec), True
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "interpret"))
-def _fused_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, interpret=False):
-    """y/h2/d: (C, n); z/c/a1: (C, m); t/rr/p1: (C, m, m).  C % LANES == 0.
-    Returns alpha (C, n+1, m), ll (C,)."""
+@functools.partial(jax.jit, static_argnames=("n", "m", "subs", "interpret"))
+def _fused_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, subs=1,
+                interpret=False):
+    """y/h2/d: (C, n); z/c/a1: (C, m); t/rr/p1: (C, m, m).
+    C % (subs*LANES) == 0.  Returns alpha (C, n+1, m), ll (C,)."""
     Cn = y.shape[0]
     dt = y.dtype
     mm = m * m
-
-    def lanes_last(x, rows):
-        # (C, rows) -> (rows, C) contiguous for lane-blocked kernel input
-        return jnp.swapaxes(x.reshape(Cn, rows), 0, 1)
+    lanes_last, spec, out_sd, unpack, scratch_t = _tiles(Cn, subs, dt)
 
     args = (lanes_last(y, n), lanes_last(h2, n), lanes_last(d, n),
             lanes_last(z, m), lanes_last(t, mm), lanes_last(rr, mm),
             lanes_last(a1, m), lanes_last(p1, mm), lanes_last(c, m))
 
-    grid = (Cn // LANES,)
-
-    def spec(rows):
-        return pl.BlockSpec((rows, LANES), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
+    grid = (Cn // (subs * LANES),)
 
     in_specs = [spec(n), spec(n), spec(n), spec(m), spec(mm), spec(mm),
                 spec(m), spec(mm), spec(m)]
     out_specs = (spec((n + 1) * m), spec(1))
-    out_shape = (jax.ShapeDtypeStruct(((n + 1) * m, Cn), dt),
-                 jax.ShapeDtypeStruct((1, Cn), dt))
+    out_shape = (out_sd((n + 1) * m), out_sd(1))
     scratch = [
-        pltpu.VMEM((n, LANES), dt),            # v
-        pltpu.VMEM((n, LANES), dt),            # F
-        pltpu.VMEM((n, LANES), dt),            # ok
-        pltpu.VMEM((n * m, LANES), dt),        # K
-        pltpu.VMEM(((n + 1) * m, LANES), dt),  # at
-        pltpu.VMEM(((n + 1) * mm, LANES), dt),  # Pt
+        scratch_t(n),             # v
+        scratch_t(n),             # F
+        scratch_t(n),             # ok
+        scratch_t(n * m),         # K
+        scratch_t((n + 1) * m),   # at
+        scratch_t((n + 1) * mm),  # Pt
     ]
     alpha_r, ll_r = pl.pallas_call(
         functools.partial(_kernel, n, m),
@@ -368,8 +416,8 @@ def _fused_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, interpret=False):
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
-    alpha = jnp.swapaxes(alpha_r, 0, 1).reshape(Cn, n + 1, m)
-    return alpha, ll_r[0]
+    alpha = unpack(alpha_r).reshape(Cn, n + 1, m)
+    return alpha, ll_r.reshape(Cn)
 
 
 def _batched_inputs(spec, axis_size):
@@ -462,21 +510,21 @@ def _laplace_step_kernel(n: int, m: int, dist: int,
     mm = m * m
     Z, T, RR, Cv, a0, P0 = _load_system(m, z_ref, t_ref, rr_ref, a1_ref,
                                         p1_ref, c_ref)
-    phi = phi_ref[0, :]
+    phi = phi_ref[0]
 
     def get_obs(t):
-        y = y_ref[t, :]
-        u = u_ref[t, :]
-        s = mode_ref[t, :]
+        y = y_ref[t]
+        u = u_ref[t]
+        s = mode_ref[t]
         yt, hh = _lane_laplace_match(dist, y, u, phi, s)
         hh = jnp.where(jnp.isfinite(hh) & (hh > 0), hh, 1.0)
         yt = jnp.where(jnp.isfinite(y), yt, jnp.nan)
-        return yt, hh, d_ref[t, :]
+        return yt, hh, d_ref[t]
 
     a_n, P_n, ll = _forward_filter(n, m, None, None, None, Z, T, RR, Cv,
                                    a0, P0, v_s, f_s, ok_s, k_s, at_s, pt_s,
                                    get_obs=get_obs)
-    ll_ref[0, :] = ll
+    ll_ref[0] = ll
 
     r0 = [jnp.zeros_like(ll) for _ in range(m)]
     dacc0 = jnp.zeros_like(ll)
@@ -484,10 +532,10 @@ def _laplace_step_kernel(n: int, m: int, dist: int,
     def bwd(i, carry):
         r, dacc = carry
         t = n - 1 - i
-        v = v_s[t, :]
-        F = f_s[t, :]
-        okf = ok_s[t, :]
-        K = [k_s[t * m + i2, :] for i2 in range(m)]
+        v = v_s[t]
+        F = f_s[t]
+        okf = ok_s[t]
+        K = [k_s[t * m + i2] for i2 in range(m)]
         TK = []
         for i2 in range(m):
             s = jnp.zeros_like(F)
@@ -507,57 +555,50 @@ def _laplace_step_kernel(n: int, m: int, dist: int,
                  for j in range(m)]
         alpha_t = []
         for i2 in range(m):
-            s = at_s[t * m + i2, :]
+            s = at_s[t * m + i2]
             for j in range(m):
-                s = s + pt_s[t * mm + i2 * m + j, :] * r_new[j]
+                s = s + pt_s[t * mm + i2 * m + j] * r_new[j]
             alpha_t.append(s)
         if dist == _SVM:
             new_mode = alpha_t[0]
         else:
-            new_mode = d_ref[t, :]
+            new_mode = d_ref[t]
             for i2 in range(m):
                 new_mode = new_mode + Z[i2] * alpha_t[i2]
-        mode_out_ref[t, :] = new_mode
-        delta = new_mode - mode_ref[t, :]
+        mode_out_ref[t] = new_mode
+        delta = new_mode - mode_ref[t]
         return r_new, dacc + delta * delta
 
     _, dacc = jax.lax.fori_loop(0, n, bwd, (r0, dacc0))
-    diff_ref[0, :] = dacc / n
+    diff_ref[0] = dacc / n
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "dist", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n", "m", "dist", "subs",
+                                             "interpret"))
 def _fused_laplace_call(y, u, d, z, t, rr, a1, p1, c, phi, mode, *,
-                        n, m, dist, interpret=False):
+                        n, m, dist, subs=1, interpret=False):
     Cn = y.shape[0]
     dt = y.dtype
     mm = m * m
-
-    def lanes_last(x, rows):
-        return jnp.swapaxes(x.reshape(Cn, rows), 0, 1)
+    lanes_last, spec, out_sd, unpack, scratch_t = _tiles(Cn, subs, dt)
 
     args = (lanes_last(y, n), lanes_last(u, n), lanes_last(d, n),
             lanes_last(z, m), lanes_last(t, mm), lanes_last(rr, mm),
             lanes_last(a1, m), lanes_last(p1, mm), lanes_last(c, m),
             lanes_last(phi, 1), lanes_last(mode, n))
-    grid = (Cn // LANES,)
-
-    def spec(rows):
-        return pl.BlockSpec((rows, LANES), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
+    grid = (Cn // (subs * LANES),)
 
     in_specs = [spec(n), spec(n), spec(n), spec(m), spec(mm), spec(mm),
                 spec(m), spec(mm), spec(m), spec(1), spec(n)]
     out_specs = (spec(n), spec(1), spec(1))
-    out_shape = (jax.ShapeDtypeStruct((n, Cn), dt),
-                 jax.ShapeDtypeStruct((1, Cn), dt),
-                 jax.ShapeDtypeStruct((1, Cn), dt))
+    out_shape = (out_sd(n), out_sd(1), out_sd(1))
     scratch = [
-        pltpu.VMEM((n, LANES), dt),
-        pltpu.VMEM((n, LANES), dt),
-        pltpu.VMEM((n, LANES), dt),
-        pltpu.VMEM((n * m, LANES), dt),
-        pltpu.VMEM(((n + 1) * m, LANES), dt),
-        pltpu.VMEM(((n + 1) * mm, LANES), dt),
+        scratch_t(n),
+        scratch_t(n),
+        scratch_t(n),
+        scratch_t(n * m),
+        scratch_t((n + 1) * m),
+        scratch_t((n + 1) * mm),
     ]
     mode_out, ll, diff = pl.pallas_call(
         functools.partial(_laplace_step_kernel, n, m, dist),
@@ -568,7 +609,7 @@ def _fused_laplace_call(y, u, d, z, t, rr, a1, p1, c, phi, mode, *,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
-    return jnp.swapaxes(mode_out, 0, 1), ll[0], diff[0]
+    return unpack(mode_out), ll.reshape(Cn), diff.reshape(Cn)
 
 
 def fused_laplace_step_batched(spec, mode, axis_size, interpret=False):
@@ -611,20 +652,15 @@ def fused_laplace_step_batched(spec, mode, axis_size, interpret=False):
     phi_arr = jnp.asarray(spec.phi, dt)
     phi = jnp.full((B, 1), phi_arr, dt) if phi_arr.ndim == 0 \
         else phi_arr.reshape(B, 1)
-    pad = (-B) % LANES
-    arrays = [y, u, D, Z, T, RR, a1, P1, C, phi, mode]
-    if pad:
-        def padc(x):
-            return jnp.concatenate(
-                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
-        arrays = [padc(x) for x in arrays]
+    sc_rows, io_rows = _kf_rows(n, m)
+    subs = _pick_subs(sc_rows, io_rows + 2 * n + 3, B)
+    arrays = _pad_block([y, u, D, Z, T, RR, a1, P1, C, phi, mode],
+                        B, subs)
     y, u, D, Z, T, RR, a1, P1, C, phi, mode_p = arrays
     mode_new, ll, diff = _fused_laplace_call(
         y, u, D, Z, T, RR, a1, P1, C, phi, mode_p, n=n, m=m,
-        dist=spec.distribution, interpret=interpret)
-    if pad:
-        mode_new, ll, diff = mode_new[:B], ll[:B], diff[:B]
-    return mode_new, ll, diff
+        dist=spec.distribution, subs=subs, interpret=interpret)
+    return mode_new[:B], ll[:B], diff[:B]
 
 
 def _laplace_step_base(spec, mode):
@@ -681,12 +717,12 @@ def _laplace_solve_kernel(n: int, m: int, dist: int, max_iter: int,
     mm = m * m
     Z, T, RR, Cv, a0, P0 = _load_system(m, z_ref, t_ref, rr_ref, a1_ref,
                                         p1_ref, c_ref)
-    phi = phi_ref[0, :]
+    phi = phi_ref[0]
     dt = mode0_ref.dtype
 
     def copy_rows(src, dst):
         def cp(t, _):
-            dst[t, :] = src[t, :]
+            dst[t] = src[t]
             return 0
         jax.lax.fori_loop(0, n, cp, 0)
 
@@ -694,15 +730,15 @@ def _laplace_solve_kernel(n: int, m: int, dist: int, max_iter: int,
     copy_rows(mode0_ref, prev_ref)
 
     def get_obs(t):
-        y = y_ref[t, :]
-        u = u_ref[t, :]
-        s = prev_ref[t, :]
+        y = y_ref[t]
+        u = u_ref[t]
+        s = prev_ref[t]
         yt, hh = _lane_laplace_match(dist, y, u, phi, s)
         hh = jnp.where(jnp.isfinite(hh) & (hh > 0), hh, 1.0)
         yt = jnp.where(jnp.isfinite(y), yt, jnp.nan)
-        return yt, hh, d_ref[t, :]
+        return yt, hh, d_ref[t]
 
-    zero_lane = jnp.zeros((y_ref.shape[-1],), dt)
+    zero_lane = jnp.zeros(y_ref.shape[1:], dt)
 
     def one_step():
         """prev_ref -> mode_ref; returns (ll, diff) lane vectors."""
@@ -714,10 +750,10 @@ def _laplace_solve_kernel(n: int, m: int, dist: int, max_iter: int,
         def bwd(i, carry):
             r, dacc = carry
             t = n - 1 - i
-            v = v_s[t, :]
-            F = f_s[t, :]
-            okf = ok_s[t, :]
-            K = [k_s[t * m + i2, :] for i2 in range(m)]
+            v = v_s[t]
+            F = f_s[t]
+            okf = ok_s[t]
+            K = [k_s[t * m + i2] for i2 in range(m)]
             TK = []
             for i2 in range(m):
                 s = zero_lane
@@ -737,18 +773,18 @@ def _laplace_solve_kernel(n: int, m: int, dist: int, max_iter: int,
                      for j in range(m)]
             alpha_t = []
             for i2 in range(m):
-                s = at_s[t * m + i2, :]
+                s = at_s[t * m + i2]
                 for j in range(m):
-                    s = s + pt_s[t * mm + i2 * m + j, :] * r_new[j]
+                    s = s + pt_s[t * mm + i2 * m + j] * r_new[j]
                 alpha_t.append(s)
             if dist == _SVM:
                 new_mode = alpha_t[0]
             else:
-                new_mode = d_ref[t, :]
+                new_mode = d_ref[t]
                 for i2 in range(m):
                     new_mode = new_mode + Z[i2] * alpha_t[i2]
-            mode_ref[t, :] = new_mode
-            delta = new_mode - prev_ref[t, :]
+            mode_ref[t] = new_mode
+            delta = new_mode - prev_ref[t]
             return r_new, dacc + delta * delta
 
         _, dacc = jax.lax.fori_loop(0, n, bwd, (r0, zero_lane))
@@ -767,48 +803,39 @@ def _laplace_solve_kernel(n: int, m: int, dist: int, max_iter: int,
     init = (jnp.int32(0), jnp.full_like(zero_lane, conv_tol + 1.0),
             zero_lane)
     niter, diff, ll = jax.lax.while_loop(cond, body, init)
-    ll_ref[0, :] = ll
-    diff_ref[0, :] = diff
-    niter_ref[0, :] = jnp.full_like(zero_lane, niter.astype(dt))
+    ll_ref[0] = ll
+    diff_ref[0] = diff
+    niter_ref[0] = jnp.full_like(zero_lane, niter.astype(dt))
 
 
 @functools.partial(jax.jit, static_argnames=("n", "m", "dist", "max_iter",
-                                             "conv_tol", "interpret"))
+                                             "conv_tol", "subs",
+                                             "interpret"))
 def _fused_laplace_solve_call(y, u, d, z, t, rr, a1, p1, c, phi, mode0, *,
-                              n, m, dist, max_iter, conv_tol,
+                              n, m, dist, max_iter, conv_tol, subs=1,
                               interpret=False):
     Cn = y.shape[0]
     dt = y.dtype
     mm = m * m
-
-    def lanes_last(x, rows):
-        return jnp.swapaxes(x.reshape(Cn, rows), 0, 1)
+    lanes_last, spec, out_sd, unpack, scratch_t = _tiles(Cn, subs, dt)
 
     args = (lanes_last(y, n), lanes_last(u, n), lanes_last(d, n),
             lanes_last(z, m), lanes_last(t, mm), lanes_last(rr, mm),
             lanes_last(a1, m), lanes_last(p1, mm), lanes_last(c, m),
             lanes_last(phi, 1), lanes_last(mode0, n))
-    grid = (Cn // LANES,)
-
-    def spec(rows):
-        return pl.BlockSpec((rows, LANES), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
+    grid = (Cn // (subs * LANES),)
 
     in_specs = [spec(n), spec(n), spec(n), spec(m), spec(mm), spec(mm),
                 spec(m), spec(mm), spec(m), spec(1), spec(n)]
     out_specs = (spec(n), spec(n), spec(1), spec(1), spec(1))
-    out_shape = (jax.ShapeDtypeStruct((n, Cn), dt),
-                 jax.ShapeDtypeStruct((n, Cn), dt),
-                 jax.ShapeDtypeStruct((1, Cn), dt),
-                 jax.ShapeDtypeStruct((1, Cn), dt),
-                 jax.ShapeDtypeStruct((1, Cn), dt))
+    out_shape = (out_sd(n), out_sd(n), out_sd(1), out_sd(1), out_sd(1))
     scratch = [
-        pltpu.VMEM((n, LANES), dt),
-        pltpu.VMEM((n, LANES), dt),
-        pltpu.VMEM((n, LANES), dt),
-        pltpu.VMEM((n * m, LANES), dt),
-        pltpu.VMEM(((n + 1) * m, LANES), dt),
-        pltpu.VMEM(((n + 1) * mm, LANES), dt),
+        scratch_t(n),
+        scratch_t(n),
+        scratch_t(n),
+        scratch_t(n * m),
+        scratch_t((n + 1) * m),
+        scratch_t((n + 1) * mm),
     ]
     mode, prev, ll, niter, diff = pl.pallas_call(
         functools.partial(_laplace_solve_kernel, n, m, dist, max_iter,
@@ -820,8 +847,9 @@ def _fused_laplace_solve_call(y, u, d, z, t, rr, a1, p1, c, phi, mode0, *,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
-    return (jnp.swapaxes(mode, 0, 1), jnp.swapaxes(prev, 0, 1),
-            niter[0].astype(jnp.int32), diff[0], ll[0])
+    return (unpack(mode), unpack(prev),
+            niter.reshape(Cn).astype(jnp.int32), diff.reshape(Cn),
+            ll.reshape(Cn))
 
 
 def fused_laplace_solve_batched(spec, mode0, conv_tol, max_iter, axis_size,
@@ -865,22 +893,16 @@ def fused_laplace_solve_batched(spec, mode0, conv_tol, max_iter, axis_size,
     phi_arr = jnp.asarray(spec.phi, dt)
     phi = jnp.full((B, 1), phi_arr, dt) if phi_arr.ndim == 0 \
         else phi_arr.reshape(B, 1)
-    pad = (-B) % LANES
-    arrays = [y, u, D, Z, T, RR, a1, P1, C, phi, mode0]
-    if pad:
-        def padc(x):
-            return jnp.concatenate(
-                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
-        arrays = [padc(x) for x in arrays]
+    sc_rows, io_rows = _kf_rows(n, m)
+    subs = _pick_subs(sc_rows, io_rows + 4 * n + 4, B)
+    arrays = _pad_block([y, u, D, Z, T, RR, a1, P1, C, phi, mode0],
+                        B, subs)
     y, u, D, Z, T, RR, a1, P1, C, phi, mode0p = arrays
     mode, prev, niter, diff, ll = _fused_laplace_solve_call(
         y, u, D, Z, T, RR, a1, P1, C, phi, mode0p, n=n, m=m,
         dist=spec.distribution, max_iter=int(max_iter),
-        conv_tol=float(conv_tol), interpret=interpret)
-    if pad:
-        mode, prev = mode[:B], prev[:B]
-        niter, diff, ll = niter[:B], diff[:B], ll[:B]
-    return mode, prev, niter, diff, ll
+        conv_tol=float(conv_tol), subs=subs, interpret=interpret)
+    return mode[:B], prev[:B], niter[:B], diff[:B], ll[:B]
 
 
 def _laplace_solve_base(spec, mode0, conv_tol, max_iter):
@@ -1022,10 +1044,10 @@ def _rts_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
                                   a0, P0, v_s, f_s, ok_s, k_s, at_s, pt_s)
     zero = jnp.zeros_like(a_n[0])
     for i in range(m):
-        ahat_ref[n * m + i, :] = a_n[i]
+        ahat_ref[n * m + i] = a_n[i]
     for ij in range(mm):
-        vt_s[n * mm + ij, :] = P_n[ij]
-        cc_s[n * mm + ij, :] = zero
+        vt_s[n * mm + ij] = P_n[ij]
+        cc_s[n * mm + ij] = zero
 
     r0 = [zero for _ in range(m)]
     N0 = [zero for _ in range(mm)]
@@ -1033,12 +1055,12 @@ def _rts_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
     def bwd(it, carry):
         r, N = carry
         t = n - 1 - it
-        v = v_s[t, :]
-        F = f_s[t, :]
-        okf = ok_s[t, :]
-        K = [k_s[t * m + i, :] for i in range(m)]
-        P = [pt_s[t * mm + ij, :] for ij in range(mm)]
-        Pn1 = [pt_s[(t + 1) * mm + ij, :] for ij in range(mm)]
+        v = v_s[t]
+        F = f_s[t]
+        okf = ok_s[t]
+        K = [k_s[t * m + i] for i in range(m)]
+        P = [pt_s[t * mm + ij] for ij in range(mm)]
+        Pn1 = [pt_s[(t + 1) * mm + ij] for ij in range(mm)]
         # L = T (I - K Z'); K==0 at masked steps so L collapses to T there,
         # matching ops.kalman.smoother's okf-select
         TK = []
@@ -1068,7 +1090,7 @@ def _rts_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
                 s = zero
                 for l in range(m):
                     s = s + PLt[i][l] * M[l][j]
-                cc_s[t * mm + i * m + j, :] = s
+                cc_s[t * mm + i * m + j] = s
         # r_{t-1} = Z v/F + L' r   (v masked to 0 at missing steps)
         r_new = []
         for j in range(m):
@@ -1095,10 +1117,10 @@ def _rts_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
                  for i in range(m) for j in range(m)]
         # ahat_t = a_t + P r ; V_t = P - P N P, symmetrised
         for i in range(m):
-            s = at_s[t * m + i, :]
+            s = at_s[t * m + i]
             for j in range(m):
                 s = s + P[i * m + j] * r_new[j]
-            ahat_ref[t * m + i, :] = s
+            ahat_ref[t * m + i] = s
         PN = [[None] * m for _ in range(m)]
         for i in range(m):
             for j in range(m):
@@ -1115,7 +1137,7 @@ def _rts_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
                 V[i * m + j] = s
         for i in range(m):
             for j in range(m):
-                vt_s[t * mm + i * m + j, :] = 0.5 * (
+                vt_s[t * mm + i * m + j] = 0.5 * (
                     V[i * m + j] + V[j * m + i])
         return r_new, N_new
 
@@ -1123,17 +1145,17 @@ def _rts_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
 
     # conditional factors: A_t = ccov_{t-1}' pinv(V_{t-1}),
     # Vc = V_t - A ccov_{t-1}, Lc = factor(Vc);  t=0: A=0, Lc=factor(V_0)
-    V0 = [vt_s[ij, :] for ij in range(mm)]
+    V0 = [vt_s[ij] for ij in range(mm)]
     Lc0 = _lane_factor(m, V0)
     for ij in range(mm):
-        lc_ref[ij, :] = Lc0[ij]
-        ac_ref[ij, :] = zero
+        lc_ref[ij] = Lc0[ij]
+        ac_ref[ij] = zero
 
     def cf(tm1, _):
         t = tm1 + 1
-        Vp = [vt_s[(t - 1) * mm + ij, :] for ij in range(mm)]
-        Cp = [cc_s[(t - 1) * mm + ij, :] for ij in range(mm)]
-        V = [vt_s[t * mm + ij, :] for ij in range(mm)]
+        Vp = [vt_s[(t - 1) * mm + ij] for ij in range(mm)]
+        Cp = [cc_s[(t - 1) * mm + ij] for ij in range(mm)]
+        V = [vt_s[t * mm + ij] for ij in range(mm)]
         Pinv = _lane_pinv(m, Vp, eps)
         A = [zero] * mm
         for i in range(m):
@@ -1151,47 +1173,41 @@ def _rts_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
                 Vc[i * m + j] = s
         Lc = _lane_factor(m, Vc)
         for ij in range(mm):
-            ac_ref[t * mm + ij, :] = A[ij]
-            lc_ref[t * mm + ij, :] = Lc[ij]
+            ac_ref[t * mm + ij] = A[ij]
+            lc_ref[t * mm + ij] = Lc[ij]
         return 0
 
     jax.lax.fori_loop(0, n, cf, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "interpret"))
-def _fused_rts_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, interpret=False):
+@functools.partial(jax.jit, static_argnames=("n", "m", "subs", "interpret"))
+def _fused_rts_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, subs=1,
+                    interpret=False):
     """Returns (ahat (C, n+1, m), Lcond (C, n+1, m, m), Acond (C, n+1, m, m))."""
     Cn = y.shape[0]
     dt = y.dtype
     mm = m * m
-
-    def lanes_last(x, rows):
-        return jnp.swapaxes(x.reshape(Cn, rows), 0, 1)
+    lanes_last, spec, out_sd, unpack, scratch_t = _tiles(Cn, subs, dt)
 
     args = (lanes_last(y, n), lanes_last(h2, n), lanes_last(d, n),
             lanes_last(z, m), lanes_last(t, mm), lanes_last(rr, mm),
             lanes_last(a1, m), lanes_last(p1, mm), lanes_last(c, m))
-    grid = (Cn // LANES,)
-
-    def spec(rows):
-        return pl.BlockSpec((rows, LANES), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
+    grid = (Cn // (subs * LANES),)
 
     in_specs = [spec(n), spec(n), spec(n), spec(m), spec(mm), spec(mm),
                 spec(m), spec(mm), spec(m)]
     out_specs = (spec((n + 1) * m), spec((n + 1) * mm), spec((n + 1) * mm))
-    out_shape = (jax.ShapeDtypeStruct(((n + 1) * m, Cn), dt),
-                 jax.ShapeDtypeStruct(((n + 1) * mm, Cn), dt),
-                 jax.ShapeDtypeStruct(((n + 1) * mm, Cn), dt))
+    out_shape = (out_sd((n + 1) * m), out_sd((n + 1) * mm),
+                 out_sd((n + 1) * mm))
     scratch = [
-        pltpu.VMEM((n, LANES), dt),             # v
-        pltpu.VMEM((n, LANES), dt),             # F
-        pltpu.VMEM((n, LANES), dt),             # ok
-        pltpu.VMEM((n * m, LANES), dt),         # K
-        pltpu.VMEM(((n + 1) * m, LANES), dt),   # at
-        pltpu.VMEM(((n + 1) * mm, LANES), dt),  # Pt
-        pltpu.VMEM(((n + 1) * mm, LANES), dt),  # Vt
-        pltpu.VMEM(((n + 1) * mm, LANES), dt),  # ccov
+        scratch_t(n),             # v
+        scratch_t(n),             # F
+        scratch_t(n),             # ok
+        scratch_t(n * m),         # K
+        scratch_t((n + 1) * m),   # at
+        scratch_t((n + 1) * mm),  # Pt
+        scratch_t((n + 1) * mm),  # Vt
+        scratch_t((n + 1) * mm),  # ccov
     ]
     ahat_r, lc_r, ac_r = pl.pallas_call(
         functools.partial(_rts_kernel, n, m),
@@ -1202,9 +1218,9 @@ def _fused_rts_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, interpret=False):
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
-    ahat = jnp.swapaxes(ahat_r, 0, 1).reshape(Cn, n + 1, m)
-    Lc = jnp.swapaxes(lc_r, 0, 1).reshape(Cn, n + 1, m, m)
-    Ac = jnp.swapaxes(ac_r, 0, 1).reshape(Cn, n + 1, m, m)
+    ahat = unpack(ahat_r).reshape(Cn, n + 1, m)
+    Lc = unpack(lc_r).reshape(Cn, n + 1, m, m)
+    Ac = unpack(ac_r).reshape(Cn, n + 1, m, m)
     return ahat, Lc, Ac
 
 
@@ -1220,18 +1236,15 @@ def fused_smoother_factors_batched(spec, axis_size, interpret=False):
         return None
     y, h2, d, z, t, rr, a1, p1, c, n, m = prep
     B = y.shape[0]
-    pad = (-B) % LANES
-    if pad:
-        def padc(x):
-            return jnp.concatenate(
-                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
-        y, h2, d, z, t, rr, a1, p1, c = map(
-            padc, (y, h2, d, z, t, rr, a1, p1, c))
+    mm = m * m
+    sc_rows, io_rows = _kf_rows(n, m)
+    subs = _pick_subs(sc_rows + 2 * (n + 1) * mm,
+                      io_rows + (n + 1) * (m + 2 * mm), B)
+    y, h2, d, z, t, rr, a1, p1, c = _pad_block(
+        (y, h2, d, z, t, rr, a1, p1, c), B, subs)
     ahat, Lc, Ac = _fused_rts_call(y, h2, d, z, t, rr, a1, p1, c, n=n, m=m,
-                                   interpret=interpret)
-    if pad:
-        ahat, Lc, Ac = ahat[:B], Lc[:B], Ac[:B]
-    return ahat, Lc, Ac
+                                   subs=subs, interpret=interpret)
+    return ahat[:B], Lc[:B], Ac[:B]
 
 
 # ---------------------------------------------------------------------------
@@ -1250,11 +1263,22 @@ _MAX_N_PSI = 16
 _SVM, _POISSON, _BINOMIAL, _NEGBIN, _GAMMA = 0, 1, 2, 3, 4
 
 
+_PSI_CHUNK = 16    # time steps per streamed randomness DMA chunk
+
+
+def _psi_rows(n: int, m: int, N: int):
+    """(scratch_rows, io_rows) of the psi kernel: the injected randomness
+    streams HBM->VMEM in double-buffered _PSI_CHUNK-step chunks, so only
+    the two chunk buffers live in VMEM, not the (n+1)*N*m eps stack."""
+    io = 6 * n + m + 1 + (n + 1) * (m + 2 * m * m) + 1
+    scratch = 2 * _PSI_CHUNK * N * (m + 1)
+    return scratch, io
+
+
 def _supported_psi(n: int, m: int, N: int) -> bool:
-    rows = (6 * n + m + 1 + (n + 1) * (m + 2 * m * m)
-            + (n + 1) * N * m + n * N)
+    scratch, io = _psi_rows(n, m, N)
     return (m <= _MAX_M_RTS and N <= _MAX_N_PSI
-            and rows * LANES * 4 < _VMEM_LIMIT_BYTES)
+            and (scratch + io) * LANES * 4 < _VMEM_LIMIT_BYTES)
 
 
 def _lane_safe_exp(x):
@@ -1286,17 +1310,47 @@ def _lane_log_weight(dist, y, u, phi, s, yt, ht):
     return jnp.where(ok, w, 0.0) - g
 
 
-def _psi_kernel(n: int, m: int, N: int, dist: int,
+def _psi_kernel(n: int, m: int, N: int, dist: int, subs: int, nch: int,
                 yt_ref, ht_ref, y_ref, u_ref, sc_ref, d_ref, z_ref, phi_ref,
-                ahat_ref, lc_ref, ac_ref, eps_ref, us_ref, logw_ref):
-    """Row layouts (rows, LANES): yt/ht/y/u/sc/d (n); z (m); phi (1);
-    ahat ((n+1)m); lc/ac ((n+1)mm); eps ((n+1)*N*m) at row t*N*m + p*m + i;
-    us (n*N) at row t*N + p; output logw (1, L)."""
+                ahat_ref, lc_ref, ac_ref, eps_hbm, us_hbm, logw_ref,
+                eps_buf, us_buf, dma_sem):
+    """Row layouts (rows, SUBS, LANES): yt/ht/y/u/sc/d (n); z (m); phi (1);
+    ahat ((n+1)m); lc/ac ((n+1)mm); output logw (1,).
+
+    The randomness stays in HBM (eps at row s*N*m + p*m + i, the shifted
+    us at row s*N + p, s = step index == time t) and streams into the
+    double-buffered VMEM chunk scratch ``eps_buf``/``us_buf`` (_PSI_CHUNK
+    steps per async DMA), overlapped with the previous chunk's compute —
+    this keeps the (n+1)*N*m normal stack out of VMEM so the draws axis can
+    pack sublanes."""
     mm = m * m
-    Z = [z_ref[i, :] for i in range(m)]
-    phi = phi_ref[0, :]
+    Nm = N * m
+    ch = _PSI_CHUNK
+    blk = pl.program_id(0)
+    Z = [z_ref[i] for i in range(m)]
+    phi = phi_ref[0]
     inv_n = 1.0 / N
     tiny = 1e-35
+
+    def eps_dma(slot, c):
+        return pltpu.make_async_copy(
+            eps_hbm.at[pl.ds(c * ch * Nm, ch * Nm),
+                       pl.ds(blk * subs, subs), :],
+            eps_buf.at[slot], dma_sem.at[slot, 0])
+
+    def us_dma(slot, c):
+        return pltpu.make_async_copy(
+            us_hbm.at[pl.ds(c * ch * N, ch * N),
+                      pl.ds(blk * subs, subs), :],
+            us_buf.at[slot], dma_sem.at[slot, 1])
+
+    eps_dma(0, 0).start()
+    us_dma(0, 0).start()
+    if nch > 1:
+        eps_dma(1, 1).start()
+        us_dma(1, 1).start()
+    eps_dma(0, 0).wait()
+    us_dma(0, 0).wait()
 
     def signal(alpha_p, d_t):
         if dist == _SVM:
@@ -1324,12 +1378,12 @@ def _psi_kernel(n: int, m: int, N: int, dist: int,
         return inc, nw
 
     def weight_cols(t_row, alpha):
-        y = y_ref[t_row, :]
-        u = u_ref[t_row, :]
-        yt = yt_ref[t_row, :]
-        ht = ht_ref[t_row, :]
-        sc = sc_ref[t_row, :]
-        d = d_ref[t_row, :]
+        y = y_ref[t_row]
+        u = u_ref[t_row]
+        yt = yt_ref[t_row]
+        ht = ht_ref[t_row]
+        sc = sc_ref[t_row]
+        d = d_ref[t_row]
         oky = jnp.isfinite(y)
         lws = [_lane_log_weight(dist, y, u, phi, signal(alpha[p], d), yt, ht)
                - sc for p in range(N)]
@@ -1340,12 +1394,12 @@ def _psi_kernel(n: int, m: int, N: int, dist: int,
         nw = [jnp.where(oky, nw[p], inv_n) for p in range(N)]
         return inc, nw
 
-    # t = 0: draw from N(ahat_0, L_0 L_0')
-    ah0 = [ahat_ref[i, :] for i in range(m)]
-    L0 = [lc_ref[ij, :] for ij in range(mm)]
+    # t = 0: draw from N(ahat_0, L_0 L_0'); eps rows 0..N*m of chunk 0
+    ah0 = [ahat_ref[i] for i in range(m)]
+    L0 = [lc_ref[ij] for ij in range(mm)]
     alpha = []
     for p in range(N):
-        e = [eps_ref[p * m + j, :] for j in range(m)]
+        e = [eps_buf[0, p * m + j] for j in range(m)]
         a_p = []
         for i in range(m):
             s = ah0[i]
@@ -1355,93 +1409,131 @@ def _psi_kernel(n: int, m: int, N: int, dist: int,
         alpha.append(a_p)
     ll, nw = weight_cols(0, alpha)
 
-    def step(tm1, carry):
-        alpha, nw, ll = carry
-        t = tm1 + 1
-        # stratified resampling as a one-hot contraction
-        cum = []
-        run = nw[0]
-        for q in range(N):
-            if q > 0:
-                run = run + nw[q]
-            cum.append(run)
-        one = jnp.ones_like(run)
-        cum[N - 1] = one                       # cp[-1] := 1 exactly
-        anc = [[jnp.zeros_like(run) for _ in range(m)] for _ in range(N)]
-        for p in range(N):
-            r_p = us_ref[tm1 * N + p, :]
-            u_p = (p + r_p) * inv_n
+    def make_step(slot, base):
+        def step(t, carry):
+            """one psi step at time t; chunk-local randomness row t - base."""
+            alpha, nw, ll = carry
+            # stratified resampling as a one-hot contraction
+            cum = []
+            run = nw[0]
             for q in range(N):
-                ge = cum[q] >= u_p
-                if q == 0:
-                    h = ge
-                else:
-                    h = ge & (cum[q - 1] < u_p)
-                hf = h.astype(run.dtype)
+                if q > 0:
+                    run = run + nw[q]
+                cum.append(run)
+            one = jnp.ones_like(run)
+            cum[N - 1] = one                       # cp[-1] := 1 exactly
+            anc = [[jnp.zeros_like(run) for _ in range(m)]
+                   for _ in range(N)]
+            for p in range(N):
+                r_p = us_buf[slot, (t - base) * N + p]
+                u_p = (p + r_p) * inv_n
+                for q in range(N):
+                    ge = cum[q] >= u_p
+                    if q == 0:
+                        h = ge
+                    else:
+                        h = ge & (cum[q - 1] < u_p)
+                    hf = h.astype(run.dtype)
+                    for i in range(m):
+                        anc[p][i] = anc[p][i] + hf * alpha[q][i]
+            # propagate through the conditional proposal
+            ah_prev = [ahat_ref[(t - 1) * m + i] for i in range(m)]
+            ah_t = [ahat_ref[t * m + i] for i in range(m)]
+            A = [ac_ref[t * mm + ij] for ij in range(mm)]
+            L = [lc_ref[t * mm + ij] for ij in range(mm)]
+            alpha_new = []
+            for p in range(N):
+                e = [eps_buf[slot, (t - base) * Nm + p * m + j]
+                     for j in range(m)]
+                a_p = []
                 for i in range(m):
-                    anc[p][i] = anc[p][i] + hf * alpha[q][i]
-        # propagate through the conditional proposal
-        ah_prev = [ahat_ref[tm1 * m + i, :] for i in range(m)]
-        ah_t = [ahat_ref[t * m + i, :] for i in range(m)]
-        A = [ac_ref[t * mm + ij, :] for ij in range(mm)]
-        L = [lc_ref[t * mm + ij, :] for ij in range(mm)]
-        alpha_new = []
-        for p in range(N):
-            e = [eps_ref[t * N * m + p * m + j, :] for j in range(m)]
-            a_p = []
-            for i in range(m):
-                s = ah_t[i]
-                for j in range(m):
-                    s = s + A[i * m + j] * (anc[p][j] - ah_prev[j]) \
-                        + L[i * m + j] * e[j]
-                a_p.append(s)
-            alpha_new.append(a_p)
-        inc, nw_new = weight_cols(t, alpha_new)
-        return alpha_new, nw_new, ll + inc
+                    s = ah_t[i]
+                    for j in range(m):
+                        s = s + A[i * m + j] * (anc[p][j] - ah_prev[j]) \
+                            + L[i * m + j] * e[j]
+                    a_p.append(s)
+                alpha_new.append(a_p)
+            inc, nw_new = weight_cols(t, alpha_new)
+            return alpha_new, nw_new, ll + inc
+        return step
 
     # the scan reference runs one extra phantom step at t=n against padded
     # NaN observations (contributing exactly 0); the kernel stops at n-1 —
-    # same statistic, no out-of-bounds row reads
-    _, _, ll = jax.lax.fori_loop(0, n - 1, step, (alpha, nw, ll))
-    logw_ref[0, :] = ll
+    # same statistic, no out-of-bounds row reads.  Chunks are unrolled in
+    # Python (static slots/bounds); chunk c+1's DMA is in flight while
+    # chunk c computes.
+    carry = (alpha, nw, ll)
+    for c in range(nch):
+        slot = c % 2
+        if c > 0:
+            if c + 1 < nch:
+                eps_dma((c + 1) % 2, c + 1).start()
+                us_dma((c + 1) % 2, c + 1).start()
+            eps_dma(slot, c).wait()
+            us_dma(slot, c).wait()
+        t_lo = 1 if c == 0 else c * ch
+        t_hi = min((c + 1) * ch, n)
+        if t_lo < t_hi:
+            carry = jax.lax.fori_loop(t_lo, t_hi, make_step(slot, c * ch),
+                                      carry)
+    logw_ref[0] = carry[2]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "m", "N", "dist", "interpret"))
+                   static_argnames=("n", "m", "N", "dist", "subs",
+                                    "interpret"))
 def _fused_psi_call(yt, ht, y, u, sc, d, z, phi, ahat, lc, ac, eps, us, *,
-                    n, m, N, dist, interpret=False):
+                    n, m, N, dist, subs=1, interpret=False):
     Cn = y.shape[0]
     dt = y.dtype
     mm = m * m
+    Nm = N * m
+    ch = _PSI_CHUNK
+    nch = -(-n // ch)
+    lanes_last, spec, out_sd, unpack, scratch_t = _tiles(Cn, subs, dt)
 
-    def lanes_last(x, rows):
-        return jnp.swapaxes(x.reshape(Cn, rows), 0, 1)
+    # time-pad/trim the randomness to nch*ch step rows: eps row s holds the
+    # proposal normals of step s; us is shifted so row s holds the
+    # resampling uniforms consumed AT step s (s >= 1; row 0 unused)
+    def pad_steps(x, per_step):
+        x = x.reshape(Cn, -1, per_step)
+        S = x.shape[1]
+        if S < nch * ch:
+            x = jnp.concatenate(
+                [x, jnp.zeros((Cn, nch * ch - S, per_step), dt)], axis=1)
+        else:
+            x = x[:, :nch * ch]
+        return x.reshape(Cn, nch * ch * per_step)
+
+    eps_p = pad_steps(eps.reshape(Cn, (n + 1) * Nm), Nm)
+    us_sh = jnp.concatenate(
+        [jnp.zeros((Cn, 1, N), dt), us.reshape(Cn, n, N)], axis=1)
+    us_p = pad_steps(us_sh.reshape(Cn, (n + 1) * N), N)
 
     args = (lanes_last(yt, n), lanes_last(ht, n), lanes_last(y, n),
             lanes_last(u, n), lanes_last(sc, n), lanes_last(d, n),
             lanes_last(z, m), lanes_last(phi, 1),
             lanes_last(ahat, (n + 1) * m), lanes_last(lc, (n + 1) * mm),
             lanes_last(ac, (n + 1) * mm),
-            lanes_last(eps, (n + 1) * N * m), lanes_last(us, n * N))
-    grid = (Cn // LANES,)
-
-    def spec(rows):
-        return pl.BlockSpec((rows, LANES), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
+            lanes_last(eps_p, nch * ch * Nm), lanes_last(us_p, nch * ch * N))
+    grid = (Cn // (subs * LANES),)
 
     in_specs = [spec(n)] * 6 + [spec(m), spec(1), spec((n + 1) * m),
                                 spec((n + 1) * mm), spec((n + 1) * mm),
-                                spec((n + 1) * N * m), spec(n * N)]
+                                pl.BlockSpec(memory_space=pl.ANY),
+                                pl.BlockSpec(memory_space=pl.ANY)]
     logw = pl.pallas_call(
-        functools.partial(_psi_kernel, n, m, N, dist),
+        functools.partial(_psi_kernel, n, m, N, dist, subs, nch),
         grid=grid,
         in_specs=in_specs,
         out_specs=spec(1),
-        out_shape=jax.ShapeDtypeStruct((1, Cn), dt),
-        scratch_shapes=[],
+        out_shape=out_sd(1),
+        scratch_shapes=[pltpu.VMEM((2, ch * Nm, subs, LANES), dt),
+                        pltpu.VMEM((2, ch * N, subs, LANES), dt),
+                        pltpu.SemaphoreType.DMA((2, 2))],
         interpret=interpret,
     )(*args)
-    return logw[0]
+    return logw.reshape(Cn)
 
 
 def fused_psi_logw_batched(spec, al, eps, us, axis_size, interpret=False):
@@ -1485,17 +1577,15 @@ def fused_psi_logw_batched(spec, al, eps, us, axis_size, interpret=False):
         phi = phi_arr.reshape(B, 1)
     eps = dense(eps, 3)
     us = dense(us, 2)
-    pad = (-B) % LANES
-    arrays = [yt, ht, y, u, sc, D, Z, phi, ahat, Lc, Ac, eps, us]
-    if pad:
-        def padc(x):
-            return jnp.concatenate(
-                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
-        arrays = [padc(x) for x in arrays]
+    sc_rows, io_rows = _psi_rows(n, m, N)
+    subs = _pick_subs(sc_rows, io_rows, B)
+    arrays = _pad_block([yt, ht, y, u, sc, D, Z, phi, ahat, Lc, Ac,
+                         eps, us], B, subs)
     yt, ht, y, u, sc, D, Z, phi, ahat, Lc, Ac, eps, us = arrays
     logw = _fused_psi_call(yt, ht, y, u, sc, D, Z, phi, ahat, Lc, Ac,
                            eps, us, n=n, m=m, N=N,
-                           dist=spec.distribution, interpret=interpret)
+                           dist=spec.distribution, subs=subs,
+                           interpret=interpret)
     return logw[:B]
 
 
@@ -1590,17 +1680,13 @@ def fused_fast_smoother_ll_batched(spec, axis_size, interpret=False):
         return None
     y, h2, d, z, t, rr, a1, p1, c, n, m = prep
     B = y.shape[0]
-    pad = (-B) % LANES
-    if pad:
-        def padc(x):
-            return jnp.concatenate(
-                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
-        y, h2, d, z, t, rr, a1, p1, c = map(
-            padc, (y, h2, d, z, t, rr, a1, p1, c))
+    sc_rows, io_rows = _kf_rows(n, m)
+    subs = _pick_subs(sc_rows, io_rows + (n + 1) * m, B)
+    y, h2, d, z, t, rr, a1, p1, c = _pad_block(
+        (y, h2, d, z, t, rr, a1, p1, c), B, subs)
     alpha, ll = _fused_call(y, h2, d, z, t, rr, a1, p1, c, n=n, m=m,
-                            interpret=interpret)
-    if pad:
-        alpha, ll = alpha[:B], ll[:B]
+                            subs=subs, interpret=interpret)
+    alpha, ll = alpha[:B], ll[:B]
     # degenerate-model guard (matches ops/kalman.log_likelihood)
     degenerate = (jnp.sum(h2[:B], axis=-1)
                   + jnp.sum(jnp.abs(rr[:B]), axis=(-1, -2))) < ZERO_TOL

@@ -212,3 +212,43 @@ def test_unsupported_shapes_return_none(rng):
     # m > 4 likewise
     spec5 = _batched_spec(rng, 12, 5, 2)
     assert fused_fast_smoother_ll_batched(spec5, 2, interpret=True) is None
+
+
+def test_sublane_packed_blocks_match_scan(rng):
+    """SUBS > 1 (chains packed into sublanes, (8, 128)-tile ops): the
+    batched kernels must agree with the scan oracles at block sizes that
+    trigger sublane packing (B >= 256 picks SUBS >= 2)."""
+    from bssm_tpu.inference import particle as pf
+    from bssm_tpu.ops.pallas_kalman import (_pick_subs,
+                                            fused_laplace_solve_batched,
+                                            fused_psi_logw_batched,
+                                            _laplace_solve_base)
+    n, B, N = 13, 256, 4
+    assert _pick_subs(0, 100, B) >= 2
+    old = config.fused_kernels
+    try:
+        config.set_fused_kernels(True)
+        specs, als = _ng_batch(rng, n, B)
+        mode0 = jnp.asarray(als.approx.mode, jnp.float32)
+        out = fused_laplace_solve_batched(specs, mode0, 1e-6, 20, B,
+                                          interpret=True)
+        assert out is not None
+        ref = jax.vmap(lambda s, m0: _laplace_solve_base(s, m0, 1e-6, 20))(
+            specs, mode0)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out[4]), np.asarray(ref[4]),
+                                   rtol=1e-4, atol=1e-3)
+        m = specs.a1.shape[-1]
+        eps = jax.random.normal(jax.random.PRNGKey(1), (B, n + 1, N, m),
+                                jnp.float32)
+        us = jax.random.uniform(jax.random.PRNGKey(2), (B, n, N),
+                                jnp.float32)
+        logw = fused_psi_logw_batched(specs, als, eps, us, B,
+                                      interpret=True)
+        assert logw is not None
+        ref_w = jax.vmap(pf.psi_logw_scan)(specs, als, eps, us)
+        np.testing.assert_allclose(np.asarray(logw), np.asarray(ref_w),
+                                   rtol=1e-4, atol=1e-3)
+    finally:
+        config.set_fused_kernels(old)
