@@ -43,8 +43,11 @@ _MAX_M = 4
 # VMEM budget guard: scratch rows ~ n * (2 + 3m + mm) * LANES * 4B
 _VMEM_LIMIT_BYTES = 10 * 1024 * 1024
 # sublane-packing budget: scratch + double-buffered io tiles must fit VMEM
-# (~16 MB/core on v5e); leave headroom for the compiler
-_VMEM_BUDGET = 12 * 1024 * 1024
+# (~16 MB/core on v5e); leave headroom for the compiler.  Tunable via
+# BSSM_VMEM_BUDGET_MB for empirical probing on real hardware.
+import os as _os  # noqa: E402
+_VMEM_BUDGET = int(_os.environ.get("BSSM_VMEM_BUDGET_MB", "13")) \
+    * 1024 * 1024
 
 
 def _supported(n: int, m: int) -> bool:
@@ -54,16 +57,16 @@ def _supported(n: int, m: int) -> bool:
 
 def _pick_subs(scratch_rows: int, io_rows: int, B: int,
                itemsize: int = 4) -> int:
-    """Sublanes-per-block multiplicity: every kernel "row" op processes a
-    (SUBS, 128) tile, so SUBS=8 uses the full 8x128 VPU instead of 1/8 of
-    it.  Pick the largest SUBS whose VMEM footprint (scratch + pipelined
-    double-buffered io blocks) fits, without padding small batches up."""
-    for s in (8, 4, 2, 1):
-        if s > 1 and B < s * LANES:
-            continue
-        if (scratch_rows + 2 * io_rows) * s * LANES * itemsize \
-                < _VMEM_BUDGET:
-            return s
+    """Sublanes-per-block multiplicity: at SUBS=8 every kernel "row" op
+    processes a full (8, 128) vreg tile of chains instead of one sublane
+    (8x fewer vector instructions per recursion step).  Mosaic requires
+    the sublane block dim to be divisible by 8, so the only legal tilings
+    are SUBS=8 (3-D refs) and SUBS=1 (the 2-D packed-rows layout); pick 8
+    when the batch is big enough and the VMEM footprint (scratch +
+    double-buffered io blocks) fits."""
+    if B >= 8 * LANES and (scratch_rows + 2 * io_rows) * 8 * LANES \
+            * itemsize < _VMEM_BUDGET:
+        return 8
     return 1
 
 
@@ -84,11 +87,27 @@ def _load_system(m, z_ref, t_ref, rr_ref, a1_ref, p1_ref, c_ref):
     return Z, T, RR, Cv, a0, P0
 
 
+def _recompute_K(m, P, Z, Fs, okf):
+    """Backward-pass gain ok * (P Z) / F from the staged (P, Fs, ok)."""
+    K = []
+    for i in range(m):
+        pz = P[i * m] * Z[0]
+        for j in range(1, m):
+            pz = pz + P[i * m + j] * Z[j]
+        K.append(okf * pz / Fs)
+    return K
+
+
 def _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv, a0, P0,
-                    v_s, f_s, ok_s, k_s, at_s, pt_s, get_obs=None):
+                    v_s, f_s, ok_s, at_s, pt_s, get_obs=None):
     """Masked Joseph-form Kalman forward pass, staging per-time stats into
     VMEM scratch.  Returns (a_n, P_n, ll) (SUBS, LANES) tiles; shared by the
     fast-smoother, loglik, RTS, and Laplace-step kernels.
+
+    The gain K is NOT staged: the backward passes recompute it as
+    ok * (P Z) / F from the staged (P, F, ok) — m*m fused multiplies per
+    step buy n*m VMEM scratch rows, which is what lets the hot kernels
+    run sublane-packed at realistic series lengths.
 
     ``get_obs(t) -> (y, h2, d)`` overrides reading the observation rows —
     the Laplace-step kernel computes the pseudo-observations on the fly
@@ -174,7 +193,6 @@ def _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv, a0, P0,
         f_s[t] = Fs
         ok_s[t] = okf
         for i in range(m):
-            k_s[t * m + i] = K[i]
             at_s[t * m + i] = a[i]
         for ij in range(mm):
             pt_s[t * mm + ij] = P[ij]
@@ -190,7 +208,7 @@ def _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv, a0, P0,
 
 def _kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
             a1_ref, p1_ref, c_ref, alpha_ref, ll_ref,
-            v_s, f_s, ok_s, k_s, at_s, pt_s):
+            v_s, f_s, ok_s, at_s, pt_s):
     """One block of SUBS*LANES chains.  All refs are 3D (rows, SUBS, LANES)
     in VMEM, so every per-row op is a full (8, 128) vreg tile.
 
@@ -202,7 +220,7 @@ def _kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
     Z, T, RR, Cv, a0, P0 = _load_system(m, z_ref, t_ref, rr_ref, a1_ref,
                                         p1_ref, c_ref)
     a_n, P_n, ll = _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv,
-                                   a0, P0, v_s, f_s, ok_s, k_s, at_s, pt_s)
+                                   a0, P0, v_s, f_s, ok_s, at_s, pt_s)
     ll_ref[0] = ll
     for i in range(m):
         alpha_ref[n * m + i] = a_n[i]
@@ -216,7 +234,8 @@ def _kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
         v = v_s[t]
         F = f_s[t]
         okf = ok_s[t]
-        K = [k_s[t * m + i2] for i2 in range(m)]
+        P = [pt_s[t * mm + ij] for ij in range(mm)]
+        K = _recompute_K(m, P, Z, F, okf)
         # TK_i = (T K)_i ;  L_ij = T_ij - TK_i Z_j ; need L' r = sum_i L_ij r_i
         TK = []
         for i2 in range(m):
@@ -239,7 +258,7 @@ def _kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
         for i2 in range(m):
             s = at_s[t * m + i2]
             for j in range(m):
-                s = s + pt_s[t * mm + i2 * m + j] * r_new[j]
+                s = s + P[i2 * m + j] * r_new[j]
             alpha_ref[t * m + i2] = s
         return r_new
 
@@ -247,7 +266,7 @@ def _kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
 
 
 def _ll_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
-               a1_ref, p1_ref, c_ref, ll_ref, v_s, f_s, ok_s, k_s, at_s,
+               a1_ref, p1_ref, c_ref, ll_ref, v_s, f_s, ok_s, at_s,
                pt_s):
     """Forward-only variant: the Kalman log-likelihood without the backward
     pass — the whole target of linear-Gaussian marginal MCMC
@@ -255,14 +274,37 @@ def _ll_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
     Z, T, RR, Cv, a0, P0 = _load_system(m, z_ref, t_ref, rr_ref, a1_ref,
                                         p1_ref, c_ref)
     _, _, ll = _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv,
-                               a0, P0, v_s, f_s, ok_s, k_s, at_s, pt_s)
+                               a0, P0, v_s, f_s, ok_s, at_s, pt_s)
     ll_ref[0] = ll
 
 
 def _tiles(Cn, subs, dt):
-    """Shared (rows, SUBS, LANES) tiling helpers for the call wrappers:
-    chains live at (c // LANES, c % LANES) in the trailing dims; the grid
-    walks SUBS sublane-groups per block."""
+    """Shared tiling helpers for the call wrappers.
+
+    subs == 1: the 2-D (rows, LANES) layout — rows pack 8-per-vreg-tile,
+    ops are (1, 128) row vectors (one sublane per instruction).
+    subs == 8: 3-D (rows, SUBS, LANES) refs — every row is a full (8, 128)
+    tile of chains at (c // LANES, c % LANES); the grid walks sublane
+    groups.  (Mosaic only allows sublane block dims divisible by 8.)"""
+
+    if subs == 1:
+        def lanes_last(x, rows):
+            return jnp.swapaxes(x.reshape(x.shape[0], rows), 0, 1)
+
+        def spec(rows):
+            return pl.BlockSpec((rows, LANES), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        def out_sd(rows):
+            return jax.ShapeDtypeStruct((rows, Cn), dt)
+
+        def unpack(x):
+            return jnp.swapaxes(x, 0, 1)
+
+        def scratch(rows):
+            return pltpu.VMEM((rows, LANES), dt)
+
+        return lanes_last, spec, out_sd, unpack, scratch
 
     def lanes_last(x, rows):
         return jnp.swapaxes(x.reshape(x.shape[0], rows), 0, 1).reshape(
@@ -303,7 +345,6 @@ def _fused_ll_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, subs=1,
         scratch_t(n),
         scratch_t(n),
         scratch_t(n),
-        scratch_t(n * m),
         scratch_t((n + 1) * m),
         scratch_t((n + 1) * mm),
     ]
@@ -332,9 +373,10 @@ def _pad_block(arrays, B, subs):
 
 
 def _kf_rows(n, m):
-    """(scratch_rows, io_rows) of the shared forward-filter footprint."""
+    """(scratch_rows, io_rows) of the shared forward-filter footprint
+    (v, F, ok, at, Pt staged; K recomputed in the backward pass)."""
     mm = m * m
-    scratch = 3 * n + n * m + (n + 1) * m + (n + 1) * mm
+    scratch = 3 * n + (n + 1) * m + (n + 1) * mm
     io = 3 * n + 3 * m + 3 * mm + 1
     return scratch, io
 
@@ -403,7 +445,6 @@ def _fused_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, subs=1,
         scratch_t(n),             # v
         scratch_t(n),             # F
         scratch_t(n),             # ok
-        scratch_t(n * m),         # K
         scratch_t((n + 1) * m),   # at
         scratch_t((n + 1) * mm),  # Pt
     ]
@@ -505,7 +546,7 @@ def _laplace_step_kernel(n: int, m: int, dist: int,
                          y_ref, u_ref, d_ref, z_ref, t_ref, rr_ref,
                          a1_ref, p1_ref, c_ref, phi_ref, mode_ref,
                          mode_out_ref, ll_ref, diff_ref,
-                         v_s, f_s, ok_s, k_s, at_s, pt_s):
+                         v_s, f_s, ok_s, at_s, pt_s):
     """mode -> (new mode, KF loglik at match(mode), mean-squared change)."""
     mm = m * m
     Z, T, RR, Cv, a0, P0 = _load_system(m, z_ref, t_ref, rr_ref, a1_ref,
@@ -522,7 +563,7 @@ def _laplace_step_kernel(n: int, m: int, dist: int,
         return yt, hh, d_ref[t]
 
     a_n, P_n, ll = _forward_filter(n, m, None, None, None, Z, T, RR, Cv,
-                                   a0, P0, v_s, f_s, ok_s, k_s, at_s, pt_s,
+                                   a0, P0, v_s, f_s, ok_s, at_s, pt_s,
                                    get_obs=get_obs)
     ll_ref[0] = ll
 
@@ -535,7 +576,8 @@ def _laplace_step_kernel(n: int, m: int, dist: int,
         v = v_s[t]
         F = f_s[t]
         okf = ok_s[t]
-        K = [k_s[t * m + i2] for i2 in range(m)]
+        P = [pt_s[t * mm + ij] for ij in range(mm)]
+        K = _recompute_K(m, P, Z, F, okf)
         TK = []
         for i2 in range(m):
             s = jnp.zeros_like(F)
@@ -557,7 +599,7 @@ def _laplace_step_kernel(n: int, m: int, dist: int,
         for i2 in range(m):
             s = at_s[t * m + i2]
             for j in range(m):
-                s = s + pt_s[t * mm + i2 * m + j] * r_new[j]
+                s = s + P[i2 * m + j] * r_new[j]
             alpha_t.append(s)
         if dist == _SVM:
             new_mode = alpha_t[0]
@@ -596,7 +638,6 @@ def _fused_laplace_call(y, u, d, z, t, rr, a1, p1, c, phi, mode, *,
         scratch_t(n),
         scratch_t(n),
         scratch_t(n),
-        scratch_t(n * m),
         scratch_t((n + 1) * m),
         scratch_t((n + 1) * mm),
     ]
@@ -707,7 +748,7 @@ def _laplace_solve_kernel(n: int, m: int, dist: int, max_iter: int,
                           y_ref, u_ref, d_ref, z_ref, t_ref, rr_ref,
                           a1_ref, p1_ref, c_ref, phi_ref, mode0_ref,
                           mode_ref, prev_ref, ll_ref, niter_ref, diff_ref,
-                          v_s, f_s, ok_s, k_s, at_s, pt_s):
+                          v_s, f_s, ok_s, at_s, pt_s):
     """The ENTIRE Laplace mode iteration in one kernel invocation: a
     `while_loop` of {match -> filter -> smooth -> new mode} with
     convergence tested per 128-lane block (the reference iterates one
@@ -743,7 +784,7 @@ def _laplace_solve_kernel(n: int, m: int, dist: int, max_iter: int,
     def one_step():
         """prev_ref -> mode_ref; returns (ll, diff) lane vectors."""
         _, _, ll = _forward_filter(n, m, None, None, None, Z, T, RR, Cv,
-                                   a0, P0, v_s, f_s, ok_s, k_s, at_s, pt_s,
+                                   a0, P0, v_s, f_s, ok_s, at_s, pt_s,
                                    get_obs=get_obs)
         r0 = [zero_lane for _ in range(m)]
 
@@ -753,7 +794,8 @@ def _laplace_solve_kernel(n: int, m: int, dist: int, max_iter: int,
             v = v_s[t]
             F = f_s[t]
             okf = ok_s[t]
-            K = [k_s[t * m + i2] for i2 in range(m)]
+            P = [pt_s[t * mm + ij] for ij in range(mm)]
+            K = _recompute_K(m, P, Z, F, okf)
             TK = []
             for i2 in range(m):
                 s = zero_lane
@@ -775,7 +817,7 @@ def _laplace_solve_kernel(n: int, m: int, dist: int, max_iter: int,
             for i2 in range(m):
                 s = at_s[t * m + i2]
                 for j in range(m):
-                    s = s + pt_s[t * mm + i2 * m + j] * r_new[j]
+                    s = s + P[i2 * m + j] * r_new[j]
                 alpha_t.append(s)
             if dist == _SVM:
                 new_mode = alpha_t[0]
@@ -833,7 +875,6 @@ def _fused_laplace_solve_call(y, u, d, z, t, rr, a1, p1, c, phi, mode0, *,
         scratch_t(n),
         scratch_t(n),
         scratch_t(n),
-        scratch_t(n * m),
         scratch_t((n + 1) * m),
         scratch_t((n + 1) * mm),
     ]
@@ -895,6 +936,12 @@ def fused_laplace_solve_batched(spec, mode0, conv_tol, max_iter, axis_size,
         else phi_arr.reshape(B, 1)
     sc_rows, io_rows = _kf_rows(n, m)
     subs = _pick_subs(sc_rows, io_rows + 4 * n + 4, B)
+    if subs == 1 and B >= 8 * LANES:
+        # big batch but the whole-solve kernel cannot pack sublanes within
+        # VMEM: decline, so the caller's fallback (XLA while_loop over the
+        # sublane-packed Laplace-STEP kernel, whose smaller io fits at 8)
+        # runs instead — fewer total instructions than a lanes-only solve
+        return None
     arrays = _pad_block([y, u, D, Z, T, RR, a1, P1, C, phi, mode0],
                         B, subs)
     y, u, D, Z, T, RR, a1, P1, C, phi, mode0p = arrays
@@ -1031,7 +1078,7 @@ def _lane_factor(m, V):
 
 def _rts_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
                 a1_ref, p1_ref, c_ref, ahat_ref, lc_ref, ac_ref,
-                v_s, f_s, ok_s, k_s, at_s, pt_s, vt_s, cc_s):
+                v_s, f_s, ok_s, at_s, pt_s, vt_s, cc_s):
     """Forward filter + RTS backward pass (means, variances, lag-1 ccov) +
     conditional proposal factors, one lane-block of draws."""
     mm = m * m
@@ -1041,7 +1088,7 @@ def _rts_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
     Z, T, RR, Cv, a0, P0 = _load_system(m, z_ref, t_ref, rr_ref, a1_ref,
                                         p1_ref, c_ref)
     a_n, P_n, _ = _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv,
-                                  a0, P0, v_s, f_s, ok_s, k_s, at_s, pt_s)
+                                  a0, P0, v_s, f_s, ok_s, at_s, pt_s)
     zero = jnp.zeros_like(a_n[0])
     for i in range(m):
         ahat_ref[n * m + i] = a_n[i]
@@ -1058,8 +1105,8 @@ def _rts_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
         v = v_s[t]
         F = f_s[t]
         okf = ok_s[t]
-        K = [k_s[t * m + i] for i in range(m)]
         P = [pt_s[t * mm + ij] for ij in range(mm)]
+        K = _recompute_K(m, P, Z, F, okf)
         Pn1 = [pt_s[(t + 1) * mm + ij] for ij in range(mm)]
         # L = T (I - K Z'); K==0 at masked steps so L collapses to T there,
         # matching ops.kalman.smoother's okf-select
@@ -1203,7 +1250,6 @@ def _fused_rts_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, subs=1,
         scratch_t(n),             # v
         scratch_t(n),             # F
         scratch_t(n),             # ok
-        scratch_t(n * m),         # K
         scratch_t((n + 1) * m),   # at
         scratch_t((n + 1) * mm),  # Pt
         scratch_t((n + 1) * mm),  # Vt
@@ -1332,17 +1378,30 @@ def _psi_kernel(n: int, m: int, N: int, dist: int, subs: int, nch: int,
     inv_n = 1.0 / N
     tiny = 1e-35
 
-    def eps_dma(slot, c):
-        return pltpu.make_async_copy(
-            eps_hbm.at[pl.ds(c * ch * Nm, ch * Nm),
-                       pl.ds(blk * subs, subs), :],
-            eps_buf.at[slot], dma_sem.at[slot, 0])
+    if subs == 1:
+        def eps_dma(slot, c):
+            return pltpu.make_async_copy(
+                eps_hbm.at[pl.ds(c * ch * Nm, ch * Nm),
+                           pl.ds(blk * LANES, LANES)],
+                eps_buf.at[slot], dma_sem.at[slot, 0])
 
-    def us_dma(slot, c):
-        return pltpu.make_async_copy(
-            us_hbm.at[pl.ds(c * ch * N, ch * N),
-                      pl.ds(blk * subs, subs), :],
-            us_buf.at[slot], dma_sem.at[slot, 1])
+        def us_dma(slot, c):
+            return pltpu.make_async_copy(
+                us_hbm.at[pl.ds(c * ch * N, ch * N),
+                          pl.ds(blk * LANES, LANES)],
+                us_buf.at[slot], dma_sem.at[slot, 1])
+    else:
+        def eps_dma(slot, c):
+            return pltpu.make_async_copy(
+                eps_hbm.at[pl.ds(c * ch * Nm, ch * Nm),
+                           pl.ds(blk * subs, subs), :],
+                eps_buf.at[slot], dma_sem.at[slot, 0])
+
+        def us_dma(slot, c):
+            return pltpu.make_async_copy(
+                us_hbm.at[pl.ds(c * ch * N, ch * N),
+                          pl.ds(blk * subs, subs), :],
+                us_buf.at[slot], dma_sem.at[slot, 1])
 
     eps_dma(0, 0).start()
     us_dma(0, 0).start()
@@ -1528,8 +1587,10 @@ def _fused_psi_call(yt, ht, y, u, sc, d, z, phi, ahat, lc, ac, eps, us, *,
         in_specs=in_specs,
         out_specs=spec(1),
         out_shape=out_sd(1),
-        scratch_shapes=[pltpu.VMEM((2, ch * Nm, subs, LANES), dt),
-                        pltpu.VMEM((2, ch * N, subs, LANES), dt),
+        scratch_shapes=[pltpu.VMEM((2, ch * Nm, LANES), dt) if subs == 1
+                        else pltpu.VMEM((2, ch * Nm, subs, LANES), dt),
+                        pltpu.VMEM((2, ch * N, LANES), dt) if subs == 1
+                        else pltpu.VMEM((2, ch * N, subs, LANES), dt),
                         pltpu.SemaphoreType.DMA((2, 2))],
         interpret=interpret,
     )(*args)

@@ -223,8 +223,8 @@ def test_sublane_packed_blocks_match_scan(rng):
                                             fused_laplace_solve_batched,
                                             fused_psi_logw_batched,
                                             _laplace_solve_base)
-    n, B, N = 13, 256, 4
-    assert _pick_subs(0, 100, B) >= 2
+    n, B, N = 13, 1024, 4
+    assert _pick_subs(0, 100, B) == 8
     old = config.fused_kernels
     try:
         config.set_fused_kernels(True)
