@@ -1313,11 +1313,15 @@ _PSI_CHUNK = 16    # time steps per streamed randomness DMA chunk
 
 
 def _psi_rows(n: int, m: int, N: int):
-    """(scratch_rows, io_rows) of the psi kernel: the injected randomness
-    streams HBM->VMEM in double-buffered _PSI_CHUNK-step chunks, so only
-    the two chunk buffers live in VMEM, not the (n+1)*N*m eps stack."""
-    io = 6 * n + m + 1 + (n + 1) * (m + 2 * m * m) + 1
-    scratch = 2 * _PSI_CHUNK * N * (m + 1)
+    """(scratch_rows, io_rows) of the psi kernel.  Everything per-step —
+    pseudo/actual observations, conditional-proposal factors, and the
+    injected randomness — streams HBM->VMEM in double-buffered
+    _PSI_CHUNK-step chunks, so VMEM holds only z/phi and the four chunk
+    buffers regardless of the series length; the draws axis packs
+    sublanes (SUBS=8) at any realistic n."""
+    per_step = 6 + (m + 2 * m * m) + N * m + N
+    scratch = 2 * _PSI_CHUNK * per_step
+    io = m + 2
     return scratch, io
 
 
@@ -1357,20 +1361,21 @@ def _lane_log_weight(dist, y, u, phi, s, yt, ht):
 
 
 def _psi_kernel(n: int, m: int, N: int, dist: int, subs: int, nch: int,
-                yt_ref, ht_ref, y_ref, u_ref, sc_ref, d_ref, z_ref, phi_ref,
-                ahat_ref, lc_ref, ac_ref, eps_hbm, us_hbm, logw_ref,
-                eps_buf, us_buf, dma_sem):
-    """Row layouts (rows, SUBS, LANES): yt/ht/y/u/sc/d (n); z (m); phi (1);
-    ahat ((n+1)m); lc/ac ((n+1)mm); output logw (1,).
+                z_ref, phi_ref, obs_hbm, fac_hbm, eps_hbm, us_hbm,
+                logw_ref, obs_buf, fac_buf, eps_buf, us_buf, dma_sem):
+    """Fully-streamed psi-APF: per-step data stays in HBM and flows through
+    double-buffered VMEM chunk buffers (_PSI_CHUNK steps per async DMA),
+    with chunk c+1's copies in flight behind chunk c's compute.
 
-    The randomness stays in HBM (eps at row s*N*m + p*m + i, the shifted
-    us at row s*N + p, s = step index == time t) and streams into the
-    double-buffered VMEM chunk scratch ``eps_buf``/``us_buf`` (_PSI_CHUNK
-    steps per async DMA), overlapped with the previous chunk's compute —
-    this keeps the (n+1)*N*m normal stack out of VMEM so the draws axis can
-    pack sublanes."""
+    HBM step-row layouts (step s == time t):
+      obs row s*6 + k:      [ytilde, Htilde, y, u, scales, D][k]
+      fac row s*F + j:      [ahat (m), Lcond (mm), Acond (mm)], F = m+2mm
+      eps row s*N*m + p*m + i, us row s*N + p (shifted: consumed AT s)
+    The previous step's ahat is carried in registers across steps/chunks,
+    so each step touches only its own rows."""
     mm = m * m
     Nm = N * m
+    F = m + 2 * mm
     ch = _PSI_CHUNK
     blk = pl.program_id(0)
     Z = [z_ref[i] for i in range(m)]
@@ -1378,38 +1383,37 @@ def _psi_kernel(n: int, m: int, N: int, dist: int, subs: int, nch: int,
     inv_n = 1.0 / N
     tiny = 1e-35
 
-    if subs == 1:
-        def eps_dma(slot, c):
-            return pltpu.make_async_copy(
-                eps_hbm.at[pl.ds(c * ch * Nm, ch * Nm),
-                           pl.ds(blk * LANES, LANES)],
-                eps_buf.at[slot], dma_sem.at[slot, 0])
-
-        def us_dma(slot, c):
-            return pltpu.make_async_copy(
-                us_hbm.at[pl.ds(c * ch * N, ch * N),
-                          pl.ds(blk * LANES, LANES)],
-                us_buf.at[slot], dma_sem.at[slot, 1])
-    else:
-        def eps_dma(slot, c):
-            return pltpu.make_async_copy(
-                eps_hbm.at[pl.ds(c * ch * Nm, ch * Nm),
+    def mk_dma(hbm, buf, rpc, k):
+        if subs == 1:
+            def dma(slot, c):
+                return pltpu.make_async_copy(
+                    hbm.at[pl.ds(c * rpc, rpc), pl.ds(blk * LANES, LANES)],
+                    buf.at[slot], dma_sem.at[slot, k])
+        else:
+            def dma(slot, c):
+                return pltpu.make_async_copy(
+                    hbm.at[pl.ds(c * rpc, rpc),
                            pl.ds(blk * subs, subs), :],
-                eps_buf.at[slot], dma_sem.at[slot, 0])
+                    buf.at[slot], dma_sem.at[slot, k])
+        return dma
 
-        def us_dma(slot, c):
-            return pltpu.make_async_copy(
-                us_hbm.at[pl.ds(c * ch * N, ch * N),
-                          pl.ds(blk * subs, subs), :],
-                us_buf.at[slot], dma_sem.at[slot, 1])
+    dmas = [mk_dma(obs_hbm, obs_buf, ch * 6, 0),
+            mk_dma(fac_hbm, fac_buf, ch * F, 1),
+            mk_dma(eps_hbm, eps_buf, ch * Nm, 2),
+            mk_dma(us_hbm, us_buf, ch * N, 3)]
 
-    eps_dma(0, 0).start()
-    us_dma(0, 0).start()
+    def start_chunk(slot, c):
+        for d in dmas:
+            d(slot, c).start()
+
+    def wait_chunk(slot, c):
+        for d in dmas:
+            d(slot, c).wait()
+
+    start_chunk(0, 0)
     if nch > 1:
-        eps_dma(1, 1).start()
-        us_dma(1, 1).start()
-    eps_dma(0, 0).wait()
-    us_dma(0, 0).wait()
+        start_chunk(1, 1)
+    wait_chunk(0, 0)
 
     def signal(alpha_p, d_t):
         if dist == _SVM:
@@ -1436,13 +1440,13 @@ def _psi_kernel(n: int, m: int, N: int, dist: int, subs: int, nch: int,
         nw = [jnp.where(ok2, ws[p] / sws, inv_n) for p in range(N)]
         return inc, nw
 
-    def weight_cols(t_row, alpha):
-        y = y_ref[t_row]
-        u = u_ref[t_row]
-        yt = yt_ref[t_row]
-        ht = ht_ref[t_row]
-        sc = sc_ref[t_row]
-        d = d_ref[t_row]
+    def weight_cols(slot, lt, alpha):
+        yt = obs_buf[slot, lt * 6 + 0]
+        ht = obs_buf[slot, lt * 6 + 1]
+        y = obs_buf[slot, lt * 6 + 2]
+        u = obs_buf[slot, lt * 6 + 3]
+        sc = obs_buf[slot, lt * 6 + 4]
+        d = obs_buf[slot, lt * 6 + 5]
         oky = jnp.isfinite(y)
         lws = [_lane_log_weight(dist, y, u, phi, signal(alpha[p], d), yt, ht)
                - sc for p in range(N)]
@@ -1453,9 +1457,9 @@ def _psi_kernel(n: int, m: int, N: int, dist: int, subs: int, nch: int,
         nw = [jnp.where(oky, nw[p], inv_n) for p in range(N)]
         return inc, nw
 
-    # t = 0: draw from N(ahat_0, L_0 L_0'); eps rows 0..N*m of chunk 0
-    ah0 = [ahat_ref[i] for i in range(m)]
-    L0 = [lc_ref[ij] for ij in range(mm)]
+    # t = 0: draw from N(ahat_0, L_0 L_0'); rows of chunk 0
+    ah0 = [fac_buf[0, i] for i in range(m)]
+    L0 = [fac_buf[0, m + ij] for ij in range(mm)]
     alpha = []
     for p in range(N):
         e = [eps_buf[0, p * m + j] for j in range(m)]
@@ -1466,12 +1470,13 @@ def _psi_kernel(n: int, m: int, N: int, dist: int, subs: int, nch: int,
                 s = s + L0[i * m + j] * e[j]
             a_p.append(s)
         alpha.append(a_p)
-    ll, nw = weight_cols(0, alpha)
+    ll, nw = weight_cols(0, 0, alpha)
 
     def make_step(slot, base):
         def step(t, carry):
-            """one psi step at time t; chunk-local randomness row t - base."""
-            alpha, nw, ll = carry
+            """one psi step at time t; chunk-local row index t - base."""
+            alpha, nw, ll, ah_prev = carry
+            lt = t - base
             # stratified resampling as a one-hot contraction
             cum = []
             run = nw[0]
@@ -1484,7 +1489,7 @@ def _psi_kernel(n: int, m: int, N: int, dist: int, subs: int, nch: int,
             anc = [[jnp.zeros_like(run) for _ in range(m)]
                    for _ in range(N)]
             for p in range(N):
-                r_p = us_buf[slot, (t - base) * N + p]
+                r_p = us_buf[slot, lt * N + p]
                 u_p = (p + r_p) * inv_n
                 for q in range(N):
                     ge = cum[q] >= u_p
@@ -1496,14 +1501,12 @@ def _psi_kernel(n: int, m: int, N: int, dist: int, subs: int, nch: int,
                     for i in range(m):
                         anc[p][i] = anc[p][i] + hf * alpha[q][i]
             # propagate through the conditional proposal
-            ah_prev = [ahat_ref[(t - 1) * m + i] for i in range(m)]
-            ah_t = [ahat_ref[t * m + i] for i in range(m)]
-            A = [ac_ref[t * mm + ij] for ij in range(mm)]
-            L = [lc_ref[t * mm + ij] for ij in range(mm)]
+            ah_t = [fac_buf[slot, lt * F + i] for i in range(m)]
+            L = [fac_buf[slot, lt * F + m + ij] for ij in range(mm)]
+            A = [fac_buf[slot, lt * F + m + mm + ij] for ij in range(mm)]
             alpha_new = []
             for p in range(N):
-                e = [eps_buf[slot, (t - base) * Nm + p * m + j]
-                     for j in range(m)]
+                e = [eps_buf[slot, lt * Nm + p * m + j] for j in range(m)]
                 a_p = []
                 for i in range(m):
                     s = ah_t[i]
@@ -1512,24 +1515,21 @@ def _psi_kernel(n: int, m: int, N: int, dist: int, subs: int, nch: int,
                             + L[i * m + j] * e[j]
                     a_p.append(s)
                 alpha_new.append(a_p)
-            inc, nw_new = weight_cols(t, alpha_new)
-            return alpha_new, nw_new, ll + inc
+            inc, nw_new = weight_cols(slot, lt, alpha_new)
+            return alpha_new, nw_new, ll + inc, ah_t
         return step
 
     # the scan reference runs one extra phantom step at t=n against padded
     # NaN observations (contributing exactly 0); the kernel stops at n-1 —
     # same statistic, no out-of-bounds row reads.  Chunks are unrolled in
-    # Python (static slots/bounds); chunk c+1's DMA is in flight while
-    # chunk c computes.
-    carry = (alpha, nw, ll)
+    # Python (static slots/bounds).
+    carry = (alpha, nw, ll, ah0)
     for c in range(nch):
         slot = c % 2
         if c > 0:
             if c + 1 < nch:
-                eps_dma((c + 1) % 2, c + 1).start()
-                us_dma((c + 1) % 2, c + 1).start()
-            eps_dma(slot, c).wait()
-            us_dma(slot, c).wait()
+                start_chunk((c + 1) % 2, c + 1)
+            wait_chunk(slot, c)
         t_lo = 1 if c == 0 else c * ch
         t_hi = min((c + 1) * ch, n)
         if t_lo < t_hi:
@@ -1564,34 +1564,39 @@ def _fused_psi_call(yt, ht, y, u, sc, d, z, phi, ahat, lc, ac, eps, us, *,
             x = x[:, :nch * ch]
         return x.reshape(Cn, nch * ch * per_step)
 
+    F = m + 2 * mm
+    obs = jnp.stack([yt, ht, y, u, sc, d], axis=2)          # (Cn, n, 6)
+    fac = jnp.concatenate([ahat, lc.reshape(Cn, n + 1, mm),
+                           ac.reshape(Cn, n + 1, mm)], axis=2)
+    obs_p = pad_steps(obs.reshape(Cn, n * 6), 6)
+    fac_p = pad_steps(fac.reshape(Cn, (n + 1) * F), F)
     eps_p = pad_steps(eps.reshape(Cn, (n + 1) * Nm), Nm)
     us_sh = jnp.concatenate(
         [jnp.zeros((Cn, 1, N), dt), us.reshape(Cn, n, N)], axis=1)
     us_p = pad_steps(us_sh.reshape(Cn, (n + 1) * N), N)
 
-    args = (lanes_last(yt, n), lanes_last(ht, n), lanes_last(y, n),
-            lanes_last(u, n), lanes_last(sc, n), lanes_last(d, n),
-            lanes_last(z, m), lanes_last(phi, 1),
-            lanes_last(ahat, (n + 1) * m), lanes_last(lc, (n + 1) * mm),
-            lanes_last(ac, (n + 1) * mm),
-            lanes_last(eps_p, nch * ch * Nm), lanes_last(us_p, nch * ch * N))
+    args = (lanes_last(z, m), lanes_last(phi, 1),
+            lanes_last(obs_p, nch * ch * 6),
+            lanes_last(fac_p, nch * ch * F),
+            lanes_last(eps_p, nch * ch * Nm),
+            lanes_last(us_p, nch * ch * N))
     grid = (Cn // (subs * LANES),)
 
-    in_specs = [spec(n)] * 6 + [spec(m), spec(1), spec((n + 1) * m),
-                                spec((n + 1) * mm), spec((n + 1) * mm),
-                                pl.BlockSpec(memory_space=pl.ANY),
-                                pl.BlockSpec(memory_space=pl.ANY)]
+    in_specs = [spec(m), spec(1)] + [pl.BlockSpec(memory_space=pl.ANY)] * 4
+
+    def chunk_buf(rows_per_step):
+        if subs == 1:
+            return pltpu.VMEM((2, ch * rows_per_step, LANES), dt)
+        return pltpu.VMEM((2, ch * rows_per_step, subs, LANES), dt)
+
     logw = pl.pallas_call(
         functools.partial(_psi_kernel, n, m, N, dist, subs, nch),
         grid=grid,
         in_specs=in_specs,
         out_specs=spec(1),
         out_shape=out_sd(1),
-        scratch_shapes=[pltpu.VMEM((2, ch * Nm, LANES), dt) if subs == 1
-                        else pltpu.VMEM((2, ch * Nm, subs, LANES), dt),
-                        pltpu.VMEM((2, ch * N, LANES), dt) if subs == 1
-                        else pltpu.VMEM((2, ch * N, subs, LANES), dt),
-                        pltpu.SemaphoreType.DMA((2, 2))],
+        scratch_shapes=[chunk_buf(6), chunk_buf(F), chunk_buf(Nm),
+                        chunk_buf(N), pltpu.SemaphoreType.DMA((2, 4))],
         interpret=interpret,
     )(*args)
     return logw.reshape(Cn)
