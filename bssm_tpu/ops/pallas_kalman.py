@@ -99,7 +99,8 @@ def _recompute_K(m, P, Z, Fs, okf):
 
 
 def _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv, a0, P0,
-                    v_s, f_s, ok_s, at_s, pt_s, get_obs=None):
+                    v_s, f_s, ok_s, at_s, pt_s, get_obs=None,
+                    t_range=None, carry_in=None):
     """Masked Joseph-form Kalman forward pass, staging per-time stats into
     VMEM scratch.  Returns (a_n, P_n, ll) (SUBS, LANES) tiles; shared by the
     fast-smoother, loglik, RTS, and Laplace-step kernels.
@@ -111,7 +112,12 @@ def _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv, a0, P0,
 
     ``get_obs(t) -> (y, h2, d)`` overrides reading the observation rows —
     the Laplace-step kernel computes the pseudo-observations on the fly
-    from the signal mode instead of staging them through HBM."""
+    from the signal mode instead of staging them through HBM.
+
+    ``t_range=(t_lo, t_hi)`` with ``carry_in`` runs only that slice of the
+    recursion and returns the carry WITHOUT the final at/Pt staging — the
+    streamed-io RTS kernel drives the pass chunk by chunk.  The final
+    (t_hi == n) slice stages a_n/P_n as usual."""
     dt = at_s.dtype
     mm = m * m
     ll0 = jnp.zeros_like(a0[0])
@@ -197,6 +203,17 @@ def _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv, a0, P0,
         for ij in range(mm):
             pt_s[t * mm + ij] = P[ij]
         return a_next, P_next, ll
+
+    if t_range is not None:
+        t_lo, t_hi = t_range
+        carry = carry_in if carry_in is not None else (a0, P0, ll0)
+        a_n, P_n, ll = jax.lax.fori_loop(t_lo, t_hi, fwd, carry)
+        if t_hi == n:
+            for i in range(m):
+                at_s[n * m + i] = a_n[i]
+            for ij in range(mm):
+                pt_s[n * mm + ij] = P_n[ij]
+        return a_n, P_n, ll
 
     a_n, P_n, ll = jax.lax.fori_loop(0, n, fwd, (a0, P0, ll0))
     for i in range(m):
@@ -1018,12 +1035,20 @@ def get_laplace_solver(conv_tol: float, max_iter: int):
 _MAX_M_RTS = 2     # closed-form eigendecomposition bound
 
 
-def _supported_rts(n: int, m: int) -> bool:
+def _rts_rows(n: int, m: int):
+    """(scratch_rows, io_rows) of the streamed-io RTS kernel: per-time
+    scratch (v, F, ok, at, Pt, Vt, ccov) + the six chunk buffers; obs in
+    and ahat/Lc/Ac out stream through double-buffered DMA."""
     mm = m * m
-    rows = (3 * n                      # y, h2, d
-            + n * (3 + m)              # v, F, ok, K
-            + (n + 1) * (2 * m + 5 * mm))  # at, ahat, Pt, Vt, cc, Lc, Ac
-    return m <= _MAX_M_RTS and rows * LANES * 4 < _VMEM_LIMIT_BYTES
+    scratch = (3 * n + (n + 1) * (m + 3 * mm)
+               + 2 * _PSI_CHUNK * (3 + m + 2 * mm))
+    io = 3 * m + 3 * mm + 2
+    return scratch, io
+
+
+def _supported_rts(n: int, m: int) -> bool:
+    sc, io = _rts_rows(n, m)
+    return m <= _MAX_M_RTS and (sc + io) * LANES * 4 < _VMEM_LIMIT_BYTES
 
 
 def _lane_eig2(v00, v01, v11):
@@ -1076,187 +1101,318 @@ def _lane_factor(m, V):
     return [-u2 * s1, u1 * s2, u1 * s1, u2 * s2]
 
 
-def _rts_kernel(n: int, m: int, y_ref, h2_ref, d_ref, z_ref, t_ref, rr_ref,
-                a1_ref, p1_ref, c_ref, ahat_ref, lc_ref, ac_ref,
-                v_s, f_s, ok_s, at_s, pt_s, vt_s, cc_s):
+def _rts_kernel(n: int, m: int, subs: int,
+                z_ref, t_ref, rr_ref, a1_ref, p1_ref, c_ref,
+                obs_hbm, ahat_hbm, lcac_hbm,
+                v_s, f_s, ok_s, at_s, pt_s, vt_s, cc_s,
+                obs_buf, ahat_buf, lcac_buf, dma_sem):
     """Forward filter + RTS backward pass (means, variances, lag-1 ccov) +
-    conditional proposal factors, one lane-block of draws."""
+    conditional proposal factors, one block of SUBS*LANES draws.
+
+    Streamed io (double-buffered _PSI_CHUNK-step DMA chunks):
+      in  obs row t*3 + k:        [y, h2, D][k]
+      out ahat row t*m + i        (written in reverse chunks by the
+                                   backward pass)
+      out lcac row t*2mm + ij:    [Lcond (mm), Acond (mm)] (forward chunks
+                                   by the factor pass)
+    Only the per-time scratch (v, F, ok, at, Pt, Vt, ccov) lives in VMEM
+    full-length; the io streams keep the kernel sublane-packable."""
     mm = m * m
-    dt = y_ref.dtype
+    ch = _PSI_CHUNK
+    F2 = 2 * mm
+    blk = pl.program_id(0)
+    dt = v_s.dtype
     eps = float(np.finfo(np.float32).eps) if dt == jnp.float32 \
         else float(np.finfo(np.float64).eps)
     Z, T, RR, Cv, a0, P0 = _load_system(m, z_ref, t_ref, rr_ref, a1_ref,
                                         p1_ref, c_ref)
-    a_n, P_n, _ = _forward_filter(n, m, y_ref, h2_ref, d_ref, Z, T, RR, Cv,
-                                  a0, P0, v_s, f_s, ok_s, at_s, pt_s)
+    nchf = -(-n // ch)            # forward obs chunks over n steps
+    nchb = -(-(n + 1) // ch)      # output chunks over n+1 steps
+
+    def mk_in_dma(hbm, buf, rpc, k):
+        if subs == 1:
+            def dma(slot, c):
+                return pltpu.make_async_copy(
+                    hbm.at[pl.ds(c * rpc, rpc), pl.ds(blk * LANES, LANES)],
+                    buf.at[slot], dma_sem.at[slot, k])
+        else:
+            def dma(slot, c):
+                return pltpu.make_async_copy(
+                    hbm.at[pl.ds(c * rpc, rpc),
+                           pl.ds(blk * subs, subs), :],
+                    buf.at[slot], dma_sem.at[slot, k])
+        return dma
+
+    def mk_out_dma(buf, hbm, rpc, k):
+        if subs == 1:
+            def dma(slot, c):
+                return pltpu.make_async_copy(
+                    buf.at[slot],
+                    hbm.at[pl.ds(c * rpc, rpc), pl.ds(blk * LANES, LANES)],
+                    dma_sem.at[slot, k])
+        else:
+            def dma(slot, c):
+                return pltpu.make_async_copy(
+                    buf.at[slot],
+                    hbm.at[pl.ds(c * rpc, rpc),
+                           pl.ds(blk * subs, subs), :],
+                    dma_sem.at[slot, k])
+        return dma
+
+    obs_dma = mk_in_dma(obs_hbm, obs_buf, ch * 3, 0)
+    ahat_dma = mk_out_dma(ahat_buf, ahat_hbm, ch * m, 1)
+    lcac_dma = mk_out_dma(lcac_buf, lcac_hbm, ch * F2, 2)
+
+    # ---- forward pass, obs streamed ----
+    obs_dma(0, 0).start()
+    if nchf > 1:
+        obs_dma(1, 1).start()
+    carry = None
+    for c in range(nchf):
+        slot = c % 2
+        if c > 0 and c + 1 < nchf:
+            obs_dma((c + 1) % 2, c + 1).start()
+        obs_dma(slot, c).wait()
+        base = c * ch
+
+        def get_obs(t, _slot=slot, _base=base):
+            lt = t - _base
+            return (obs_buf[_slot, lt * 3 + 0],
+                    obs_buf[_slot, lt * 3 + 1],
+                    obs_buf[_slot, lt * 3 + 2])
+
+        carry = _forward_filter(
+            n, m, None, None, None, Z, T, RR, Cv, a0, P0,
+            v_s, f_s, ok_s, at_s, pt_s, get_obs=get_obs,
+            t_range=(base, min(base + ch, n)), carry_in=carry)
+    a_n, P_n, _ = carry
     zero = jnp.zeros_like(a_n[0])
-    for i in range(m):
-        ahat_ref[n * m + i] = a_n[i]
     for ij in range(mm):
         vt_s[n * mm + ij] = P_n[ij]
         cc_s[n * mm + ij] = zero
 
+    # ---- backward pass, ahat streamed out in reverse chunks ----
     r0 = [zero for _ in range(m)]
     N0 = [zero for _ in range(mm)]
 
-    def bwd(it, carry):
-        r, N = carry
-        t = n - 1 - it
-        v = v_s[t]
-        F = f_s[t]
-        okf = ok_s[t]
-        P = [pt_s[t * mm + ij] for ij in range(mm)]
-        K = _recompute_K(m, P, Z, F, okf)
-        Pn1 = [pt_s[(t + 1) * mm + ij] for ij in range(mm)]
-        # L = T (I - K Z'); K==0 at masked steps so L collapses to T there,
-        # matching ops.kalman.smoother's okf-select
-        TK = []
-        for i in range(m):
-            s = zero
-            for l in range(m):
-                s = s + T[i][l] * K[l]
-            TK.append(s)
-        L = [[T[i][j] - TK[i] * Z[j] for j in range(m)] for i in range(m)]
-        # ccov_t = P_t L' (I - N_t P_{t+1})
-        PLt = [[None] * m for _ in range(m)]
-        for i in range(m):
-            for j in range(m):
-                s = zero
-                for l in range(m):
-                    s = s + P[i * m + l] * L[j][l]
-                PLt[i][j] = s
-        M = [[None] * m for _ in range(m)]      # I - N P_next
-        for i in range(m):
-            for j in range(m):
-                s = zero
-                for l in range(m):
-                    s = s + N[i * m + l] * Pn1[l * m + j]
-                M[i][j] = (1.0 if i == j else 0.0) - s
-        for i in range(m):
-            for j in range(m):
-                s = zero
-                for l in range(m):
-                    s = s + PLt[i][l] * M[l][j]
-                cc_s[t * mm + i * m + j] = s
-        # r_{t-1} = Z v/F + L' r   (v masked to 0 at missing steps)
-        r_new = []
-        for j in range(m):
-            s = Z[j] * (v / F)
+    def make_bwd(slot, lo, hi):
+        def bwd(it, carry):
+            r, N = carry
+            t = hi - 1 - it
+            v = v_s[t]
+            F = f_s[t]
+            okf = ok_s[t]
+            P = [pt_s[t * mm + ij] for ij in range(mm)]
+            K = _recompute_K(m, P, Z, F, okf)
+            Pn1 = [pt_s[(t + 1) * mm + ij] for ij in range(mm)]
+            # L = T (I - K Z'); K==0 at masked steps so L collapses to T,
+            # matching ops.kalman.smoother's okf-select
+            TK = []
             for i in range(m):
-                s = s + L[i][j] * r[i]
-            r_new.append(s)
-        # N_{t-1} = ok ZZ'/F + L' N L, symmetrised
-        NL = [[None] * m for _ in range(m)]
-        for i in range(m):
-            for j in range(m):
                 s = zero
                 for l in range(m):
-                    s = s + N[i * m + l] * L[l][j]
-                NL[i][j] = s
-        N_new = [zero] * mm
-        for i in range(m):
+                    s = s + T[i][l] * K[l]
+                TK.append(s)
+            L = [[T[i][j] - TK[i] * Z[j] for j in range(m)]
+                 for i in range(m)]
+            # ccov_t = P_t L' (I - N_t P_{t+1})
+            PLt = [[None] * m for _ in range(m)]
+            for i in range(m):
+                for j in range(m):
+                    s = zero
+                    for l in range(m):
+                        s = s + P[i * m + l] * L[j][l]
+                    PLt[i][j] = s
+            M = [[None] * m for _ in range(m)]      # I - N P_next
+            for i in range(m):
+                for j in range(m):
+                    s = zero
+                    for l in range(m):
+                        s = s + N[i * m + l] * Pn1[l * m + j]
+                    M[i][j] = (1.0 if i == j else 0.0) - s
+            for i in range(m):
+                for j in range(m):
+                    s = zero
+                    for l in range(m):
+                        s = s + PLt[i][l] * M[l][j]
+                    cc_s[t * mm + i * m + j] = s
+            # r_{t-1} = Z v/F + L' r   (v masked to 0 at missing steps)
+            r_new = []
             for j in range(m):
-                s = okf * Z[i] * Z[j] / F
-                for l in range(m):
-                    s = s + L[l][i] * NL[l][j]
-                N_new[i * m + j] = s
-        N_new = [0.5 * (N_new[i * m + j] + N_new[j * m + i])
-                 for i in range(m) for j in range(m)]
-        # ahat_t = a_t + P r ; V_t = P - P N P, symmetrised
-        for i in range(m):
-            s = at_s[t * m + i]
-            for j in range(m):
-                s = s + P[i * m + j] * r_new[j]
-            ahat_ref[t * m + i] = s
-        PN = [[None] * m for _ in range(m)]
-        for i in range(m):
-            for j in range(m):
-                s = zero
-                for l in range(m):
-                    s = s + P[i * m + l] * N_new[l * m + j]
-                PN[i][j] = s
-        V = [zero] * mm
-        for i in range(m):
-            for j in range(m):
-                s = P[i * m + j]
-                for l in range(m):
-                    s = s - PN[i][l] * P[l * m + j]
-                V[i * m + j] = s
-        for i in range(m):
-            for j in range(m):
-                vt_s[t * mm + i * m + j] = 0.5 * (
-                    V[i * m + j] + V[j * m + i])
-        return r_new, N_new
+                s = Z[j] * (v / F)
+                for i in range(m):
+                    s = s + L[i][j] * r[i]
+                r_new.append(s)
+            # N_{t-1} = ok ZZ'/F + L' N L, symmetrised
+            NL = [[None] * m for _ in range(m)]
+            for i in range(m):
+                for j in range(m):
+                    s = zero
+                    for l in range(m):
+                        s = s + N[i * m + l] * L[l][j]
+                    NL[i][j] = s
+            N_new = [zero] * mm
+            for i in range(m):
+                for j in range(m):
+                    s = okf * Z[i] * Z[j] / F
+                    for l in range(m):
+                        s = s + L[l][i] * NL[l][j]
+                    N_new[i * m + j] = s
+            N_new = [0.5 * (N_new[i * m + j] + N_new[j * m + i])
+                     for i in range(m) for j in range(m)]
+            # ahat_t = a_t + P r ; V_t = P - P N P, symmetrised
+            for i in range(m):
+                s = at_s[t * m + i]
+                for j in range(m):
+                    s = s + P[i * m + j] * r_new[j]
+                ahat_buf[slot, (t - lo) * m + i] = s
+            PN = [[None] * m for _ in range(m)]
+            for i in range(m):
+                for j in range(m):
+                    s = zero
+                    for l in range(m):
+                        s = s + P[i * m + l] * N_new[l * m + j]
+                    PN[i][j] = s
+            V = [zero] * mm
+            for i in range(m):
+                for j in range(m):
+                    s = P[i * m + j]
+                    for l in range(m):
+                        s = s - PN[i][l] * P[l * m + j]
+                    V[i * m + j] = s
+            for i in range(m):
+                for j in range(m):
+                    vt_s[t * mm + i * m + j] = 0.5 * (
+                        V[i * m + j] + V[j * m + i])
+            return r_new, N_new
+        return bwd
 
-    jax.lax.fori_loop(0, n, bwd, (r0, N0))
+    carry = (r0, N0)
+    for cb in range(nchb - 1, -1, -1):
+        slot = cb % 2
+        if cb + 2 < nchb:                       # buffer reuse: wait out-DMA
+            ahat_dma(slot, cb + 2).wait()
+        lo = cb * ch
+        hi = min((cb + 1) * ch, n + 1)
+        if hi == n + 1:                          # the t = n entry
+            for i in range(m):
+                ahat_buf[slot, (n - lo) * m + i] = a_n[i]
+            hi = n
+        if lo < hi:
+            carry = jax.lax.fori_loop(0, hi - lo, make_bwd(slot, lo, hi),
+                                      carry)
+        ahat_dma(slot, cb).start()
 
-    # conditional factors: A_t = ccov_{t-1}' pinv(V_{t-1}),
-    # Vc = V_t - A ccov_{t-1}, Lc = factor(Vc);  t=0: A=0, Lc=factor(V_0)
-    V0 = [vt_s[ij] for ij in range(mm)]
-    Lc0 = _lane_factor(m, V0)
-    for ij in range(mm):
-        lc_ref[ij] = Lc0[ij]
-        ac_ref[ij] = zero
+    # ---- conditional factors, lcac streamed out in forward chunks ----
+    # A_t = ccov_{t-1}' pinv(V_{t-1}), Vc = V_t - A ccov_{t-1},
+    # Lc = factor(Vc);  t = 0: A = 0, Lc = factor(V_0)
+    def make_cf(slot, lo):
+        def cf(it, _):
+            t = lo + it
+            Vp = [vt_s[(t - 1) * mm + ij] for ij in range(mm)]
+            Cp = [cc_s[(t - 1) * mm + ij] for ij in range(mm)]
+            V = [vt_s[t * mm + ij] for ij in range(mm)]
+            Pinv = _lane_pinv(m, Vp, eps)
+            A = [zero] * mm
+            for i in range(m):
+                for j in range(m):
+                    s = zero
+                    for l in range(m):
+                        s = s + Cp[l * m + i] * Pinv[l * m + j]
+                    A[i * m + j] = s
+            Vc = [zero] * mm
+            for i in range(m):
+                for j in range(m):
+                    s = V[i * m + j]
+                    for l in range(m):
+                        s = s - A[i * m + l] * Cp[l * m + j]
+                    Vc[i * m + j] = s
+            Lc = _lane_factor(m, Vc)
+            lt = t - lo
+            for ij in range(mm):
+                lcac_buf[slot, lt * F2 + ij] = Lc[ij]
+                lcac_buf[slot, lt * F2 + mm + ij] = A[ij]
+            return 0
+        return cf
 
-    def cf(tm1, _):
-        t = tm1 + 1
-        Vp = [vt_s[(t - 1) * mm + ij] for ij in range(mm)]
-        Cp = [cc_s[(t - 1) * mm + ij] for ij in range(mm)]
-        V = [vt_s[t * mm + ij] for ij in range(mm)]
-        Pinv = _lane_pinv(m, Vp, eps)
-        A = [zero] * mm
-        for i in range(m):
-            for j in range(m):
-                s = zero
-                for l in range(m):
-                    s = s + Cp[l * m + i] * Pinv[l * m + j]
-                A[i * m + j] = s
-        Vc = [zero] * mm
-        for i in range(m):
-            for j in range(m):
-                s = V[i * m + j]
-                for l in range(m):
-                    s = s - A[i * m + l] * Cp[l * m + j]
-                Vc[i * m + j] = s
-        Lc = _lane_factor(m, Vc)
-        for ij in range(mm):
-            ac_ref[t * mm + ij] = A[ij]
-            lc_ref[t * mm + ij] = Lc[ij]
-        return 0
+    for c in range(nchb):
+        slot = c % 2
+        if c - 2 >= 0:                          # buffer reuse: wait out-DMA
+            lcac_dma(slot, c - 2).wait()
+        lo = c * ch
+        hi = min((c + 1) * ch, n + 1)
+        if c == 0:
+            V0 = [vt_s[ij] for ij in range(mm)]
+            Lc0 = _lane_factor(m, V0)
+            for ij in range(mm):
+                lcac_buf[slot, ij] = Lc0[ij]
+                lcac_buf[slot, mm + ij] = zero
+            lo = 1
+        if lo < hi:
+            jax.lax.fori_loop(0, hi - lo, make_cf(slot, lo), 0)
+        lcac_dma(slot, c).start()
 
-    jax.lax.fori_loop(0, n, cf, 0)
+    # all out-DMAs must land before the kernel retires: the last two ahat
+    # chunks started are 1, 0 (reverse order); the last two lcac chunks are
+    # nchb-2, nchb-1
+    for c in (1, 0):
+        if c < nchb:
+            ahat_dma(c % 2, c).wait()
+    for c in (nchb - 2, nchb - 1):
+        if c >= 0:
+            lcac_dma(c % 2, c).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("n", "m", "subs", "interpret"))
 def _fused_rts_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, subs=1,
                     interpret=False):
-    """Returns (ahat (C, n+1, m), Lcond (C, n+1, m, m), Acond (C, n+1, m, m))."""
+    """Returns (ahat (C, n+1, m), Lcond (C, n+1, m, m),
+    Acond (C, n+1, m, m)) via the streamed-io RTS kernel."""
     Cn = y.shape[0]
     dt = y.dtype
     mm = m * m
+    ch = _PSI_CHUNK
+    nchf = -(-n // ch)
+    nchb = -(-(n + 1) // ch)
     lanes_last, spec, out_sd, unpack, scratch_t = _tiles(Cn, subs, dt)
 
-    args = (lanes_last(y, n), lanes_last(h2, n), lanes_last(d, n),
-            lanes_last(z, m), lanes_last(t, mm), lanes_last(rr, mm),
-            lanes_last(a1, m), lanes_last(p1, mm), lanes_last(c, m))
-    grid = (Cn // (subs * LANES),)
+    def pad_steps(x, per_step, steps):
+        x = x.reshape(Cn, -1, per_step)
+        S = x.shape[1]
+        if S < steps:
+            x = jnp.concatenate(
+                [x, jnp.zeros((Cn, steps - S, per_step), dt)], axis=1)
+        return x.reshape(Cn, steps * per_step)
 
-    in_specs = [spec(n), spec(n), spec(n), spec(m), spec(mm), spec(mm),
-                spec(m), spec(mm), spec(m)]
-    out_specs = (spec((n + 1) * m), spec((n + 1) * mm), spec((n + 1) * mm))
-    out_shape = (out_sd((n + 1) * m), out_sd((n + 1) * mm),
-                 out_sd((n + 1) * mm))
+    obs = jnp.stack([y, h2, d], axis=2)                 # (Cn, n, 3)
+    obs_p = pad_steps(obs.reshape(Cn, n * 3), 3, nchf * ch)
+
+    args = (lanes_last(z, m), lanes_last(t, mm), lanes_last(rr, mm),
+            lanes_last(a1, m), lanes_last(p1, mm), lanes_last(c, m),
+            lanes_last(obs_p, nchf * ch * 3))
+    grid = (Cn // (subs * LANES),)
+    in_specs = [spec(m), spec(mm), spec(mm), spec(m), spec(mm), spec(m),
+                pl.BlockSpec(memory_space=pl.ANY)]
+    out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pl.ANY))
+    out_shape = (out_sd(nchb * ch * m), out_sd(nchb * ch * 2 * mm))
+
+    def chunk_buf(rows_per_step):
+        if subs == 1:
+            return pltpu.VMEM((2, ch * rows_per_step, LANES), dt)
+        return pltpu.VMEM((2, ch * rows_per_step, subs, LANES), dt)
+
     scratch = [
-        scratch_t(n),             # v
-        scratch_t(n),             # F
-        scratch_t(n),             # ok
-        scratch_t((n + 1) * m),   # at
-        scratch_t((n + 1) * mm),  # Pt
-        scratch_t((n + 1) * mm),  # Vt
-        scratch_t((n + 1) * mm),  # ccov
+        scratch_t(n), scratch_t(n), scratch_t(n),        # v, F, ok
+        scratch_t((n + 1) * m),                          # at
+        scratch_t((n + 1) * mm),                         # Pt
+        scratch_t((n + 1) * mm),                         # Vt
+        scratch_t((n + 1) * mm),                         # ccov
+        chunk_buf(3), chunk_buf(m), chunk_buf(2 * mm),
+        pltpu.SemaphoreType.DMA((2, 3)),
     ]
-    ahat_r, lc_r, ac_r = pl.pallas_call(
-        functools.partial(_rts_kernel, n, m),
+    ahat_r, lcac_r = pl.pallas_call(
+        functools.partial(_rts_kernel, n, m, subs),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1264,9 +1420,10 @@ def _fused_rts_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, subs=1,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
-    ahat = unpack(ahat_r).reshape(Cn, n + 1, m)
-    Lc = unpack(lc_r).reshape(Cn, n + 1, m, m)
-    Ac = unpack(ac_r).reshape(Cn, n + 1, m, m)
+    ahat = unpack(ahat_r)[:, :(n + 1) * m].reshape(Cn, n + 1, m)
+    lcac = unpack(lcac_r)[:, :(n + 1) * 2 * mm].reshape(Cn, n + 1, 2, mm)
+    Lc = lcac[:, :, 0].reshape(Cn, n + 1, m, m)
+    Ac = lcac[:, :, 1].reshape(Cn, n + 1, m, m)
     return ahat, Lc, Ac
 
 
@@ -1282,10 +1439,8 @@ def fused_smoother_factors_batched(spec, axis_size, interpret=False):
         return None
     y, h2, d, z, t, rr, a1, p1, c, n, m = prep
     B = y.shape[0]
-    mm = m * m
-    sc_rows, io_rows = _kf_rows(n, m)
-    subs = _pick_subs(sc_rows + 2 * (n + 1) * mm,
-                      io_rows + (n + 1) * (m + 2 * mm), B)
+    sc_rows, io_rows = _rts_rows(n, m)
+    subs = _pick_subs(sc_rows, io_rows, B)
     y, h2, d, z, t, rr, a1, p1, c = _pad_block(
         (y, h2, d, z, t, rr, a1, p1, c), B, subs)
     ahat, Lc, Ac = _fused_rts_call(y, h2, d, z, t, rr, a1, p1, c, n=n, m=m,
