@@ -25,10 +25,11 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".xla_cache")
 
 
-def _probe_device(timeout_s: int = 150, attempts: int = 3) -> bool:
+def _probe_device(timeout_s: int = 150, attempts: int = 6) -> bool:
     """Check the accelerator responds (in a subprocess, so a hung tunnel
-    can't hang the bench itself); the axon tunnel flaps transiently, so
-    retry before falling back to CPU."""
+    can't hang the bench itself); the axon tunnel flaps — sometimes for
+    minutes — so retry over a ~7-minute window before falling back to
+    CPU."""
     code = ("import jax, jax.numpy as jnp;"
             "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
     for i in range(attempts):
@@ -38,7 +39,7 @@ def _probe_device(timeout_s: int = 150, attempts: int = 3) -> bool:
             return True
         except Exception:
             if i + 1 < attempts:
-                time.sleep(20)
+                time.sleep(45)
     return False
 
 

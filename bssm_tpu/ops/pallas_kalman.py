@@ -1306,7 +1306,7 @@ def _rts_kernel(n: int, m: int, subs: int,
     # ---- conditional factors, lcac streamed out in forward chunks ----
     # A_t = ccov_{t-1}' pinv(V_{t-1}), Vc = V_t - A ccov_{t-1},
     # Lc = factor(Vc);  t = 0: A = 0, Lc = factor(V_0)
-    def make_cf(slot, lo):
+    def make_cf(slot, base, lo):
         def cf(it, _):
             t = lo + it
             Vp = [vt_s[(t - 1) * mm + ij] for ij in range(mm)]
@@ -1328,7 +1328,7 @@ def _rts_kernel(n: int, m: int, subs: int,
                         s = s - A[i * m + l] * Cp[l * m + j]
                     Vc[i * m + j] = s
             Lc = _lane_factor(m, Vc)
-            lt = t - lo
+            lt = t - base                     # chunk-local buffer row
             for ij in range(mm):
                 lcac_buf[slot, lt * F2 + ij] = Lc[ij]
                 lcac_buf[slot, lt * F2 + mm + ij] = A[ij]
@@ -1349,7 +1349,7 @@ def _rts_kernel(n: int, m: int, subs: int,
                 lcac_buf[slot, mm + ij] = zero
             lo = 1
         if lo < hi:
-            jax.lax.fori_loop(0, hi - lo, make_cf(slot, lo), 0)
+            jax.lax.fori_loop(0, hi - lo, make_cf(slot, c * ch, lo), 0)
         lcac_dma(slot, c).start()
 
     # all out-DMAs must land before the kernel retires: the last two ahat

@@ -252,3 +252,42 @@ def test_sublane_packed_blocks_match_scan(rng):
                                    rtol=1e-4, atol=1e-3)
     finally:
         config.set_fused_kernels(old)
+
+
+def test_rts_factors_match_smoother_oracle(rng):
+    """The streamed-io RTS kernel's (ahat, Lcond, Acond) must match the
+    scan smoother + conditional_cov_factors oracle DIRECTLY (the psi
+    parity test feeds both paths from the same factors, so it cannot see
+    factor bugs — this one compares against the fused-off oracle)."""
+    from bssm_tpu.ops import kalman
+    from bssm_tpu.ops.chol import conditional_cov_factors
+    from bssm_tpu.ops.pallas_kalman import fused_smoother_factors_batched
+    n, B = 37, 4
+    old = config.fused_kernels
+    try:
+        config.set_fused_kernels(True)
+        specs, als = _ng_batch(rng, n, B)
+        g = specs.approx_gaussian(als.approx.ytilde, als.approx.Htilde)
+        ahat, Lc, Ac = fused_smoother_factors_batched(g, B, interpret=True)
+    finally:
+        config.set_fused_kernels(old)
+
+    def base(s):
+        sm = kalman.smoother(s)
+        L, A = conditional_cov_factors(sm.Vt, sm.ccov)
+        return sm.alphahat, L, A
+
+    ra, rl, rc = jax.vmap(base)(g)
+    np.testing.assert_allclose(np.asarray(ahat), np.asarray(ra),
+                               rtol=1e-4, atol=1e-4)
+    # the factor itself is unique only up to the clipped-pinv tie-breaks at
+    # near-singular V (f32 rounding flips the clip); compare the covariance
+    # L L' and require the factor to match wherever V is well-conditioned
+    LL = np.einsum('btij,btkj->btik', np.asarray(Lc), np.asarray(Lc))
+    LLr = np.einsum('btij,btkj->btik', np.asarray(rl), np.asarray(rl))
+    np.testing.assert_allclose(LL, LLr, atol=5e-3)
+    lerr = np.abs(np.asarray(Lc) - np.asarray(rl)).max(axis=(0, 2, 3))
+    aerr = np.abs(np.asarray(Ac) - np.asarray(rc)).max(axis=(0, 2, 3))
+    n1 = lerr.shape[0]
+    assert (lerr < 1e-3).sum() >= n1 - 5, lerr
+    assert (aerr < 1e-3).sum() >= n1 - 5, aerr
