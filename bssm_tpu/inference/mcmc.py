@@ -123,7 +123,7 @@ _LAZY_ARRAY_FIELDS = frozenset((
     "weights", "modes", "approx_loglik", "prior", "theta_sampled"))
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(repr=False, eq=False)
 class McmcOutput:
     """Posterior sample container (dense storage, chain axis first).
 
@@ -242,6 +242,23 @@ class McmcOutput:
                 recs.append(df)
             return pd.concat(recs, ignore_index=True)
         raise ValueError(variable)
+
+    def __repr__(self) -> str:
+        """Cheap shape/dtype report: the dataclass-generated __repr__ would
+        materialize every lazy device field (a full host transfer of the
+        (chains, S, n) modes stack over the slow tunnel) just to print."""
+        parts = []
+        for f in dataclasses.fields(self):
+            v = object.__getattribute__(self, f.name)
+            if v is None:
+                continue
+            if hasattr(v, "shape") and hasattr(v, "dtype"):
+                parts.append(f"{f.name}=<{'x'.join(map(str, v.shape))} "
+                             f"{v.dtype}>")
+            elif f.name in ("mcmc_type", "output_type", "acceptance_rate",
+                            "iter"):
+                parts.append(f"{f.name}={v!r}")
+        return f"McmcOutput({', '.join(parts)})"
 
     def __str__(self) -> str:
         """Basic run summary, mirroring `print.mcmc_output`

@@ -90,9 +90,13 @@ def post_correct(model: Model, output: McmcOutput, particles: int,
     mx = jnp.max(jnp.where(jnp.isfinite(log_w), log_w, -jnp.inf))
     shift = jnp.maximum(jnp.where(jnp.isfinite(mx), mx, 0.0), 0.0)
     out.weights = jnp.exp(log_w - shift)
-    out.posterior = (output.prior if output.prior is not None else 0.0) \
-        + (output.approx_loglik if output.approx_loglik is not None
-           else 0.0) + np.asarray(log_w)
+    # posterior stays a device expression: read the stored fields raw
+    # (object.__getattribute__ skips the lazy numpy conversion) so the
+    # caller's input object is not host-materialized as a side effect
+    prior_raw = object.__getattribute__(output, "prior")
+    all_raw = object.__getattribute__(output, "approx_loglik")
+    out.posterior = ((prior_raw if prior_raw is not None else 0.0)
+                     + (all_raw if all_raw is not None else 0.0) + log_w)
     if want_states:
         out.alpha = post["alpha"]
     elif want_moments:

@@ -405,7 +405,7 @@ def fused_log_likelihood_batched(spec, axis_size, interpret=False):
         return None
     y, h2, d, z, t, rr, a1, p1, c, n, m = prep
     B = y.shape[0]
-    subs = _pick_subs(*_kf_rows(n, m), B)
+    subs = _pick_subs(*_kf_rows(n, m), B, itemsize=y.dtype.itemsize)
     y, h2, d, z, t, rr, a1, p1, c = _pad_block(
         (y, h2, d, z, t, rr, a1, p1, c), B, subs)
     ll = _fused_ll_call(y, h2, d, z, t, rr, a1, p1, c, n=n, m=m, subs=subs,
@@ -711,7 +711,8 @@ def fused_laplace_step_batched(spec, mode, axis_size, interpret=False):
     phi = jnp.full((B, 1), phi_arr, dt) if phi_arr.ndim == 0 \
         else phi_arr.reshape(B, 1)
     sc_rows, io_rows = _kf_rows(n, m)
-    subs = _pick_subs(sc_rows, io_rows + 2 * n + 3, B)
+    subs = _pick_subs(sc_rows, io_rows + 2 * n + 3, B,
+                      itemsize=y.dtype.itemsize)
     arrays = _pad_block([y, u, D, Z, T, RR, a1, P1, C, phi, mode],
                         B, subs)
     y, u, D, Z, T, RR, a1, P1, C, phi, mode_p = arrays
@@ -952,7 +953,8 @@ def fused_laplace_solve_batched(spec, mode0, conv_tol, max_iter, axis_size,
     phi = jnp.full((B, 1), phi_arr, dt) if phi_arr.ndim == 0 \
         else phi_arr.reshape(B, 1)
     sc_rows, io_rows = _kf_rows(n, m)
-    subs = _pick_subs(sc_rows, io_rows + 4 * n + 4, B)
+    subs = _pick_subs(sc_rows, io_rows + 4 * n + 4, B,
+                      itemsize=y.dtype.itemsize)
     if subs == 1 and B >= 8 * LANES:
         # big batch but the whole-solve kernel cannot pack sublanes within
         # VMEM: decline, so the caller's fallback (XLA while_loop over the
@@ -1440,7 +1442,7 @@ def fused_smoother_factors_batched(spec, axis_size, interpret=False):
     y, h2, d, z, t, rr, a1, p1, c, n, m = prep
     B = y.shape[0]
     sc_rows, io_rows = _rts_rows(n, m)
-    subs = _pick_subs(sc_rows, io_rows, B)
+    subs = _pick_subs(sc_rows, io_rows, B, itemsize=y.dtype.itemsize)
     y, h2, d, z, t, rr, a1, p1, c = _pad_block(
         (y, h2, d, z, t, rr, a1, p1, c), B, subs)
     ahat, Lc, Ac = _fused_rts_call(y, h2, d, z, t, rr, a1, p1, c, n=n, m=m,
@@ -1799,7 +1801,7 @@ def fused_psi_logw_batched(spec, al, eps, us, axis_size, interpret=False):
     eps = dense(eps, 3)
     us = dense(us, 2)
     sc_rows, io_rows = _psi_rows(n, m, N)
-    subs = _pick_subs(sc_rows, io_rows, B)
+    subs = _pick_subs(sc_rows, io_rows, B, itemsize=y.dtype.itemsize)
     arrays = _pad_block([yt, ht, y, u, sc, D, Z, phi, ahat, Lc, Ac,
                          eps, us], B, subs)
     yt, ht, y, u, sc, D, Z, phi, ahat, Lc, Ac, eps, us = arrays
@@ -1902,7 +1904,8 @@ def fused_fast_smoother_ll_batched(spec, axis_size, interpret=False):
     y, h2, d, z, t, rr, a1, p1, c, n, m = prep
     B = y.shape[0]
     sc_rows, io_rows = _kf_rows(n, m)
-    subs = _pick_subs(sc_rows, io_rows + (n + 1) * m, B)
+    subs = _pick_subs(sc_rows, io_rows + (n + 1) * m, B,
+                      itemsize=y.dtype.itemsize)
     y, h2, d, z, t, rr, a1, p1, c = _pad_block(
         (y, h2, d, z, t, rr, a1, p1, c), B, subs)
     alpha, ll = _fused_call(y, h2, d, z, t, rr, a1, p1, c, n=n, m=m,

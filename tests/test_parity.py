@@ -83,6 +83,62 @@ def test_poisson_series_doc_parity():
     assert abs(lvl100 - 2.618) < 0.12
 
 
+@pytest.mark.slow
+def test_airquality_bsm_lg_parity():
+    """The reference README flagship example (`/root/reference/README.md:
+    116-159`): bsm_lg on airquality Ozone with Wind+Temp regressors, 20k
+    iterations / 5k burn-in.  Published posterior: Temp 1.027 (SD 0.206),
+    Wind -2.518 (SD 0.576), sd_level 6.373 (SD 2.80), sd_slope 0.339
+    (SD 0.283), sd_y 20.862 (SD 1.94); alpha_154 level -28.32, slope
+    -0.374; acceptance 0.239; theta ESS 613-808 on 15k kept draws."""
+    from bssm_tpu.core.priors import gamma_prior
+    from bssm_tpu.diagnostics.summary import estimate_ess
+    from bssm_tpu.models.bsm import bsm_lg
+    from bssm_tpu.utils.datasets import airquality
+
+    d = airquality()
+    xreg = np.column_stack([d["Wind"], d["Temp"]])
+    model = bsm_lg(d["Ozone"], xreg=xreg,
+                   beta=normal_prior(np.zeros(2), 0.0, 1.0),
+                   sd_y=gamma_prior(1.0, 2.0, 0.01),
+                   sd_level=gamma_prior(1.0, 2.0, 0.01),
+                   sd_slope=gamma_prior(1.0, 2.0, 0.01))
+    out = run_mcmc(model, iter=20000, burnin=5000, seed=1, n_chains=2,
+                   output_type="summary")
+    th = out.flat_theta()
+    means = dict(zip(out.theta_names, th.mean(axis=0)))
+    sds = dict(zip(out.theta_names, th.std(axis=0)))
+    lvl, slp = float(out.alphahat[-1, 0]), float(out.alphahat[-1, 1])
+    # per-chain IACT-based ESS on the Wind coefficient, published 613-808
+    # (per 15000 kept draws; wide band, ESS estimates are noisy)
+    ess = [estimate_ess(out.theta[c, :, 3]) for c in range(2)]
+    targets = {"Temp": [1.027, 0.08], "Wind": [-2.518, 0.20],
+               "sd_level": [6.373, 0.8], "sd_slope": [0.339, 0.10],
+               "sd_y": [20.862, 0.6], "level_154": [-28.32, 4.0],
+               "slope_154": [-0.374, 0.4],
+               "acceptance": [0.239, 0.05], "ess_wind": [700, "in 250..3000"]}
+    record("airquality_bsm_lg_parity",
+           {"Temp": means["beta_2"], "Wind": means["beta_1"],
+            "sd_level": means["sd_level"], "sd_slope": means["sd_slope"],
+            "sd_y": means["sd_y"], "sd_Temp": sds["beta_2"],
+            "sd_Wind": sds["beta_1"], "level_154": lvl, "slope_154": slp,
+            "acceptance": float(out.acceptance_rate),
+            "ess_wind_chain0": ess[0], "ess_wind_chain1": ess[1]}, targets)
+    assert abs(means["beta_2"] - 1.027) < 0.08          # Temp
+    assert abs(means["beta_1"] - (-2.518)) < 0.20       # Wind
+    assert abs(means["sd_level"] - 6.373) < 0.8
+    assert abs(means["sd_slope"] - 0.339) < 0.10
+    assert abs(means["sd_y"] - 20.862) < 0.6
+    # posterior SDs are parity targets too (README prints them)
+    assert abs(sds["beta_2"] - 0.206) < 0.05
+    assert abs(sds["beta_1"] - 0.576) < 0.15
+    assert abs(lvl - (-28.32)) < 4.0
+    assert abs(slp - (-0.374)) < 0.4
+    assert abs(out.acceptance_rate - 0.239) < 0.05
+    for e in ess:
+        assert 250 < e < 3000, ess
+
+
 def test_datasets_load():
     for name, shape in [("poisson_series", (100,)), ("drownings", (51, 4)),
                         ("exchange", (945,)), ("negbin_series", (200, 2))]:
