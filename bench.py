@@ -1,16 +1,26 @@
-"""Benchmark: IS-MCMC (bsm_ng Poisson, psi-APF) samples/s/chip.
+"""Benchmark: IS-MCMC (bsm_ng Poisson, psi-APF) samples/s/chip + ESS/s.
 
 Baseline (BASELINE.md): the reference runs 20k IS2 iterations with 10
 psi-APF particles on the airquality bsm_ng in 7.71 s single-thread CPU
-=> 2594 samples/s.  Here the same statistical workload (n=153-length series,
-10-particle psi-APF correction, RAM adaptive chains) runs as vmapped chains
-on one TPU chip — phase 1 through the fused chains-in-lanes Laplace/Kalman
-Pallas kernel, phase 2 (one psi-APF correction per jump-chain head) through
-the fused RTS-factor + psi-filter kernels.  samples/s = chains * iters /
-wall-time (post-compile; the persistent XLA cache under .xla_cache makes
-re-runs skip compilation entirely).
+=> 2594 samples/s.  Here the same statistical workload (n=153-length
+series, psi-APF correction, RAM adaptive chains) runs as vmapped chains on
+one TPU chip — phase 1 through the fused chains-in-lanes Laplace/Kalman
+Pallas kernel, phase 2 (one psi-APF correction per jump-chain head)
+through the fused RTS-factor + psi-filter kernels.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Two workloads (BASELINE.json metric: "samples/s/chip (IS-MCMC, bsm_ng
+psi-APF N=256); ESS/s"):
+  - N=10:  the reference README config (its own headline number);
+  - N=256: the BASELINE flagship particle count.
+Each reports samples/s and ESS_IS/s (weight-degeneracy effective samples
+per second — raw samples/s would reward a badly-mixed or badly-weighted
+chain; `diagnostics/summary.ess_is`).
+
+Prints ONE JSON line.  `device`/`tpu` fields state where it ran; a CPU
+fallback is a FAILED artifact for perf purposes (the probe found the axon
+tunnel down) and exits with code 3 so the driver records the failure —
+the JSON is still printed, labeled `"tpu": false`, as a smoke signal that
+the code path itself works.
 """
 import json
 import os
@@ -27,10 +37,13 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def _probe_device(timeout_s: int = 150, attempts: int = 6) -> bool:
     """Check the accelerator responds (in a subprocess, so a hung tunnel
-    can't hang the bench itself); the axon tunnel flaps — sometimes for
-    minutes — so retry over a ~7-minute window before falling back to
-    CPU."""
+    can't hang the bench itself).  The axon tunnel flaps — sometimes for
+    minutes — so retry; worst case this holds the bench for
+    attempts x (timeout_s + 45 s sleep) ~= 19 minutes before falling back
+    to CPU, which is deliberate: a CPU artifact is a failed artifact, so
+    waiting longer for the tunnel is the better trade."""
     code = ("import jax, jax.numpy as jnp;"
+            "assert jax.devices()[0].platform != 'cpu';"
             "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
     for i in range(attempts):
         try:
@@ -43,45 +56,19 @@ def _probe_device(timeout_s: int = 150, attempts: int = 6) -> bool:
     return False
 
 
-def main():
-    if os.environ.get("BSSM_BENCH_FORCE") == "tpu":
-        pass                       # trust the accelerator, retries handle flaps
-    elif not _probe_device():
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-    import jax
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    import jax.numpy as jnp
-
-    from bssm_tpu.core.priors import halfnormal_prior
-    from bssm_tpu.models.bsm import bsm_ng
+def _run_workload(model, jax, n_chains, iters, particles, corr_batch,
+                  label):
+    from bssm_tpu.diagnostics.summary import ess_is
     from bssm_tpu.inference.mcmc import run_mcmc
-
-    # airquality-scale workload: n = 153, level+slope BSM, Poisson obs
-    rng = np.random.default_rng(1)
-    n = 153
-    slope = np.cumsum(rng.normal(0, 0.01, n))
-    level = np.cumsum(slope + rng.normal(0, 0.1, n)) + 2.0
-    y = rng.poisson(np.exp(0.5 * level / np.abs(level).max() + 1.0))
-    model = bsm_ng(y.astype(float), sd_level=halfnormal_prior(0.1, 1.0),
-                   sd_slope=halfnormal_prior(0.01, 0.1),
-                   distribution="poisson", dtype=jnp.float32)
-
-    on_cpu = jax.default_backend() == "cpu"
-    n_chains = int(os.environ.get("BSSM_BENCH_CHAINS",
-                                  "128" if on_cpu else "2048"))
-    iters = 1000
-    particles = 10
 
     def run(seed):
         return run_mcmc(model, iter=iters, particles=particles,
                         mcmc_type="is2", n_chains=n_chains, seed=seed,
-                        output_type="theta", corr_batch=2048,
+                        output_type="theta", corr_batch=corr_batch,
                         store_modes=False)
 
-    # the tunnel to the device occasionally drops mid-run; retry a few times
+    # the tunnel to the device occasionally drops mid-run; retry a few
+    # times (compiles are persistent-cached, so retries are cheap)
     out = None
     for attempt in range(3):
         try:
@@ -95,20 +82,79 @@ def main():
                 raise
             time.sleep(30)
 
-    total_samples = n_chains * iters
-    sps = total_samples / elapsed
-    # sanity: finite posteriors and IS weights
-    ok = bool(np.all(np.isfinite(out.posterior)))
+    total = n_chains * iters
+    w = out.flat_weights()
+    return {
+        "label": label, "chains": n_chains, "iters": iters,
+        "particles": particles,
+        "samples_per_s": round(total / elapsed, 1),
+        "ess_is_per_s": round(
+            ess_is(w) * (total / w.size) / elapsed, 1),
+        "elapsed_s": round(elapsed, 3),
+        "finite": bool(np.all(np.isfinite(out.posterior))),
+        "kernel_tier": "fused-pallas" if particles <= 16 else "scan",
+    }
+
+
+def main():
+    force = os.environ.get("BSSM_BENCH_FORCE")
+    if force == "tpu":
+        on_tpu = True        # trust the accelerator, retries handle flaps
+    elif force == "cpu":
+        on_tpu = False
+    else:
+        on_tpu = _probe_device()
+    if not on_tpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+
+    from bssm_tpu.core.priors import halfnormal_prior
+    from bssm_tpu.models.bsm import bsm_ng
+
+    # airquality-scale workload: n = 153, level+slope BSM, Poisson obs
+    rng = np.random.default_rng(1)
+    n = 153
+    slope = np.cumsum(rng.normal(0, 0.01, n))
+    level = np.cumsum(slope + rng.normal(0, 0.1, n)) + 2.0
+    y = rng.poisson(np.exp(0.5 * level / np.abs(level).max() + 1.0))
+    model = bsm_ng(y.astype(float), sd_level=halfnormal_prior(0.1, 1.0),
+                   sd_slope=halfnormal_prior(0.01, 0.1),
+                   distribution="poisson", dtype=jnp.float32)
+
+    on_cpu = jax.default_backend() == "cpu"
+    tpu = not on_cpu
+    chains = int(os.environ.get("BSSM_BENCH_CHAINS",
+                                "128" if on_cpu else "2048"))
+    iters = 1000
+
+    w10 = _run_workload(model, jax, chains, iters, 10, 2048, "psi_N10")
+    # BASELINE flagship particle count; scan tier (fused psi kernel is
+    # N<=16), smaller chain block keeps the correction wall-time sane
+    c256 = max(chains // 4, 8)
+    w256 = _run_workload(model, jax, c256, iters, 256, 256, "psi_N256")
+
     result = {
         "metric": "samples_per_s_per_chip_is_mcmc_bsm_ng_psi",
-        "value": round(sps, 1),
+        "value": w10["samples_per_s"],
         "unit": "samples/s/chip",
-        "vs_baseline": round(sps / BASELINE_SAMPLES_PER_S, 2),
-        "chains": n_chains, "iters": iters, "particles": particles,
-        "elapsed_s": round(elapsed, 2), "finite": ok,
+        "vs_baseline": round(w10["samples_per_s"] / BASELINE_SAMPLES_PER_S,
+                             2),
         "device": str(jax.devices()[0]),
+        "tpu": tpu,
+        "ess_is_per_s": w10["ess_is_per_s"],
+        "finite": w10["finite"] and w256["finite"],
+        "workloads": [w10, w256],
     }
     print(json.dumps(result))
+    if not tpu:
+        # CPU fallback = failed perf artifact (VERDICT r03): exit nonzero
+        # so the driver records the miss rather than a misleading number
+        sys.exit(3)
 
 
 if __name__ == "__main__":

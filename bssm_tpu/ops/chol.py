@@ -111,12 +111,26 @@ def _psd_factor(V: jnp.ndarray) -> jnp.ndarray:
 
 
 def _psd_pinv(V: jnp.ndarray) -> jnp.ndarray:
-    """Moore-Penrose pseudo-inverse of a PSD matrix (eigh, clipped)."""
+    """Pseudo-inverse of a PSD matrix (eigh, Tikhonov-smoothed).
+
+    A hard keep/drop tolerance is a cliff: an eigenvalue whose absolute
+    error (~eps * lambda_max, from the covariance recursions that produced
+    V) is as large as itself can land just above the cutoff and contribute
+    a garbage 1/lambda — at f32 this produced conditional gains |A| ~ 500
+    and psi-APF IS log-weights in the thousands.  The smoothed inverse
+    lambda / (lambda^2 + delta^2) equals 1/lambda for healthy eigenvalues
+    (relative error (delta/lambda)^2), and rolls off to 0 for directions
+    below the noise floor — numerically-deterministic state components get
+    treated as exactly deterministic, matching the reference's zero-row
+    pruning (`/root/reference/src/conditional_dist.cpp:33-65`) without a
+    branch."""
     m = V.shape[-1]
     Vs = 0.5 * (V + V.T)
     w, U = _sym_eigh(Vs)
-    tol = jnp.finfo(V.dtype).eps * m * jnp.maximum(jnp.max(w), 0.0)
-    winv = jnp.where(w > tol, 1.0 / jnp.where(w > tol, w, 1.0), 0.0)
+    w = jnp.clip(w, 0.0, None)
+    delta = 4.0 * m * jnp.finfo(V.dtype).eps * jnp.max(w)
+    den = w * w + delta * delta
+    winv = jnp.where(den > 0, w / jnp.where(den > 0, den, 1.0), 0.0)
     return (U * winv[None, :]) @ U.T
 
 

@@ -230,33 +230,39 @@ class SmoothResult(NamedTuple):
 
 
 def smoother(spec: LGSpec, want_ccov: bool = False) -> SmoothResult:
-    """Full RTS smoother with variances (and optionally the lag-1
-    cross-covariances needed by the psi-APF proposal)
-    (`/root/reference/src/model_ssm_ulg.cpp:419-473,511-555`)."""
+    """Full RTS smoother with variances (and the lag-1 cross-covariances
+    needed by the psi-APF proposal)
+    (`/root/reference/src/model_ssm_ulg.cpp:419-473,511-555`).
+
+    Deliberate deviation from the reference's Durbin-Koopman N-recursion
+    (V_t = P_t - P_t N_t P_t): with a diffuse-scale P1 (the bsm default is
+    100 I) that form cancels ~P1-sized quantities to recover V ~ 1e-4, an
+    absolute error of eps*P1^2*N — fatal in f32 (observed: negative smoothed
+    variances, conditional gains |A| ~ 500, psi-APF IS log-weights +3000).
+    The classic J-form recursion below is algebraically identical but
+    propagates the correction through J (V_next - P_pred) J', so early-time
+    errors are squashed by J ~ Ptt/P_pred; f32 matches f64 to ~1e-4
+    relative even at near-degenerate state noise."""
+    from .chol import _psd_pinv
     r = kfilter(spec)
-    ok = spec.obs_mask & (r.Ft > ZERO_TOL)
-    n, m = spec.n, spec.m
+    m = spec.m
     dt = spec.y.dtype
-    _, _, Zb, _, Tb, _, _, _ = _step_arrays(spec)
+    _, _, _, _, Tb, _, _, _ = _step_arrays(spec)
 
     def back(carry, xs):
-        rt, Nt = carry
-        v, F, K, okt, Z, T, a, P, P_next = xs
-        okf = okt.astype(dt)
-        L_obs = T @ (jnp.eye(m, dtype=dt) - jnp.outer(K, Z))
-        L = okf * L_obs + (1 - okf) * T
-        # ccov_t = Cov(alpha_t, alpha_{t+1}) = P_t L_t' (I - N_t P_{t+1})
-        ccov = P @ L.T @ (jnp.eye(m, dtype=dt) - Nt @ P_next)
-        r_new = okf * (Z * (v / F)) + L.T @ rt
-        N_new = okf * (jnp.outer(Z, Z) / F) + L.T @ Nt @ L
-        N_new = 0.5 * (N_new + N_new.T)
-        ahat = a + P @ r_new
-        V = P - P @ N_new @ P
+        ahat_next, V_next = carry
+        T, att, Ptt, a_next, P_next = xs
+        # J_t = Ptt T' P_pred^+ ; pinv handles deterministic (zero-noise)
+        # state components, cf. `/root/reference/src/conditional_dist.cpp`
+        J = Ptt @ T.T @ _psd_pinv(P_next)
+        ahat = att + J @ (ahat_next - a_next)
+        V = Ptt + J @ (V_next - P_next) @ J.T
         V = 0.5 * (V + V.T)
-        return (r_new, N_new), (ahat, V, ccov)
+        ccov = J @ V_next           # Cov(alpha_t, alpha_{t+1} | y)
+        return (ahat, V), (ahat, V, ccov)
 
-    init = (jnp.zeros((m,), dt), jnp.zeros((m, m), dt))
-    xs = (r.vt, r.Ft, r.Kt, ok, Zb, Tb, r.at[:-1], r.Pt[:-1], r.Pt[1:])
+    init = (r.at[-1], r.Pt[-1])
+    xs = (Tb, r.att, r.Ptt, r.at[1:], r.Pt[1:])
     _, (ahat, Vt, ccov) = jax.lax.scan(back, init, xs, reverse=True)
     ahat = jnp.concatenate([ahat, r.at[-1][None]], axis=0)
     Vt = jnp.concatenate([Vt, r.Pt[-1][None]], axis=0)

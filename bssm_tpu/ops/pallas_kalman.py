@@ -1072,17 +1072,23 @@ def _lane_eig2(v00, v01, v11):
 
 
 def _lane_pinv(m, V, eps):
-    """Clipped PSD pseudo-inverse on lane vectors; V is a list of mm
-    entries.  Mirrors ops.chol._psd_pinv exactly."""
+    """Tikhonov-smoothed PSD pseudo-inverse on lane vectors; V is a list of
+    mm entries.  Mirrors ops.chol._psd_pinv exactly: lambda/(lambda^2 +
+    delta^2) with delta = 4 m eps lambda_max — a hard keep/drop tolerance
+    is an f32 cliff (see _psd_pinv docstring)."""
     if m == 1:
-        v = V[0]
-        tol = eps * jnp.maximum(v, 0.0)
-        return [jnp.where(v > tol, 1.0 / jnp.where(v > tol, v, 1.0), 0.0)]
+        v = jnp.maximum(V[0], 0.0)
+        delta = 4.0 * eps * v
+        den = v * v + delta * delta
+        return [jnp.where(den > 0, v / jnp.where(den > 0, den, 1.0), 0.0)]
     w1, w2, u1, u2 = _lane_eig2(V[0], 0.5 * (V[1] + V[2]), V[3])
-    tol = eps * 2.0 * jnp.maximum(w2, 0.0)
+    w1 = jnp.maximum(w1, 0.0)
+    w2 = jnp.maximum(w2, 0.0)
+    delta = 8.0 * eps * w2                      # 4*m*eps*max(w), m = 2
 
     def inv(w):
-        return jnp.where(w > tol, 1.0 / jnp.where(w > tol, w, 1.0), 0.0)
+        den = w * w + delta * delta
+        return jnp.where(den > 0, w / jnp.where(den > 0, den, 1.0), 0.0)
 
     iw1, iw2 = inv(w1), inv(w2)
     return [iw1 * u2 * u2 + iw2 * u1 * u1,
@@ -1193,103 +1199,91 @@ def _rts_kernel(n: int, m: int, subs: int,
         vt_s[n * mm + ij] = P_n[ij]
         cc_s[n * mm + ij] = zero
 
-    # ---- backward pass, ahat streamed out in reverse chunks ----
-    r0 = [zero for _ in range(m)]
-    N0 = [zero for _ in range(mm)]
-
+    # ---- backward pass (J-form RTS), ahat streamed out in reverse ----
+    # Deliberately NOT the reference's Durbin-Koopman N-recursion
+    # (V = P - P N P): with the bsm default P1 = 100 I that form cancels
+    # diffuse-scale quantities and produces garbage smoothed covariances at
+    # f32 (negative variances, conditional gains |A| ~ 500).  The J-form
+    # recursion V_t = Ptt + J (V_{t+1} - P_{t+1|t}) J' squashes early-time
+    # error by J^2; see ops/kalman.smoother.
     def make_bwd(slot, lo, hi):
         def bwd(it, carry):
-            r, N = carry
+            ah_n, V_n = carry           # smoothed mean/cov of state t+1
             t = hi - 1 - it
             v = v_s[t]
             F = f_s[t]
             okf = ok_s[t]
             P = [pt_s[t * mm + ij] for ij in range(mm)]
-            K = _recompute_K(m, P, Z, F, okf)
             Pn1 = [pt_s[(t + 1) * mm + ij] for ij in range(mm)]
-            # L = T (I - K Z'); K==0 at masked steps so L collapses to T,
-            # matching ops.kalman.smoother's okf-select
-            TK = []
+            # filtered moments from staged predicted stats:
+            # att = a + ok (PZ) v/F ; Ptt = P - ok (PZ)(PZ)'/F
+            PZ = []
             for i in range(m):
-                s = zero
-                for l in range(m):
-                    s = s + T[i][l] * K[l]
-                TK.append(s)
-            L = [[T[i][j] - TK[i] * Z[j] for j in range(m)]
-                 for i in range(m)]
-            # ccov_t = P_t L' (I - N_t P_{t+1})
-            PLt = [[None] * m for _ in range(m)]
+                s = P[i * m] * Z[0]
+                for j in range(1, m):
+                    s = s + P[i * m + j] * Z[j]
+                PZ.append(s)
+            okF = okf / F
+            att = [at_s[t * m + i] + PZ[i] * (okF * v) for i in range(m)]
+            Ptt = [P[i * m + j] - PZ[i] * PZ[j] * okF
+                   for i in range(m) for j in range(m)]
+            # J = Ptt T' pinv(P_{t+1|t})
+            Pinv = _lane_pinv(m, Pn1, eps)
+            PT = [[None] * m for _ in range(m)]       # Ptt T'
             for i in range(m):
                 for j in range(m):
-                    s = zero
+                    s = Ptt[i * m] * T[j][0]
+                    for l in range(1, m):
+                        s = s + Ptt[i * m + l] * T[j][l]
+                    PT[i][j] = s
+            J = [[None] * m for _ in range(m)]
+            for i in range(m):
+                for j in range(m):
+                    s = PT[i][0] * Pinv[j]
+                    for l in range(1, m):
+                        s = s + PT[i][l] * Pinv[l * m + j]
+                    J[i][j] = s
+            # ahat_t = att + J (ahat_{t+1} - a_{t+1|t})
+            dv = [ah_n[j] - at_s[(t + 1) * m + j] for j in range(m)]
+            ah = []
+            for i in range(m):
+                s = att[i]
+                for j in range(m):
+                    s = s + J[i][j] * dv[j]
+                ah.append(s)
+            for i in range(m):
+                ahat_buf[slot, (t - lo) * m + i] = ah[i]
+            # V_t = Ptt + J (V_{t+1} - P_{t+1|t}) J', symmetrised
+            W = [V_n[ij] - Pn1[ij] for ij in range(mm)]
+            JW = [[None] * m for _ in range(m)]
+            for i in range(m):
+                for j in range(m):
+                    s = J[i][0] * W[j]
+                    for l in range(1, m):
+                        s = s + J[i][l] * W[l * m + j]
+                    JW[i][j] = s
+            V = [None] * mm
+            for i in range(m):
+                for j in range(m):
+                    s = Ptt[i * m + j]
                     for l in range(m):
-                        s = s + P[i * m + l] * L[j][l]
-                    PLt[i][j] = s
-            M = [[None] * m for _ in range(m)]      # I - N P_next
-            for i in range(m):
-                for j in range(m):
-                    s = zero
-                    for l in range(m):
-                        s = s + N[i * m + l] * Pn1[l * m + j]
-                    M[i][j] = (1.0 if i == j else 0.0) - s
-            for i in range(m):
-                for j in range(m):
-                    s = zero
-                    for l in range(m):
-                        s = s + PLt[i][l] * M[l][j]
-                    cc_s[t * mm + i * m + j] = s
-            # r_{t-1} = Z v/F + L' r   (v masked to 0 at missing steps)
-            r_new = []
-            for j in range(m):
-                s = Z[j] * (v / F)
-                for i in range(m):
-                    s = s + L[i][j] * r[i]
-                r_new.append(s)
-            # N_{t-1} = ok ZZ'/F + L' N L, symmetrised
-            NL = [[None] * m for _ in range(m)]
-            for i in range(m):
-                for j in range(m):
-                    s = zero
-                    for l in range(m):
-                        s = s + N[i * m + l] * L[l][j]
-                    NL[i][j] = s
-            N_new = [zero] * mm
-            for i in range(m):
-                for j in range(m):
-                    s = okf * Z[i] * Z[j] / F
-                    for l in range(m):
-                        s = s + L[l][i] * NL[l][j]
-                    N_new[i * m + j] = s
-            N_new = [0.5 * (N_new[i * m + j] + N_new[j * m + i])
-                     for i in range(m) for j in range(m)]
-            # ahat_t = a_t + P r ; V_t = P - P N P, symmetrised
-            for i in range(m):
-                s = at_s[t * m + i]
-                for j in range(m):
-                    s = s + P[i * m + j] * r_new[j]
-                ahat_buf[slot, (t - lo) * m + i] = s
-            PN = [[None] * m for _ in range(m)]
-            for i in range(m):
-                for j in range(m):
-                    s = zero
-                    for l in range(m):
-                        s = s + P[i * m + l] * N_new[l * m + j]
-                    PN[i][j] = s
-            V = [zero] * mm
-            for i in range(m):
-                for j in range(m):
-                    s = P[i * m + j]
-                    for l in range(m):
-                        s = s - PN[i][l] * P[l * m + j]
+                        s = s + JW[i][l] * J[j][l]
                     V[i * m + j] = s
+            V = [0.5 * (V[i * m + j] + V[j * m + i])
+                 for i in range(m) for j in range(m)]
+            for ij in range(mm):
+                vt_s[t * mm + ij] = V[ij]
+            # ccov_t = Cov(alpha_t, alpha_{t+1} | y) = J V_{t+1}
             for i in range(m):
                 for j in range(m):
-                    vt_s[t * mm + i * m + j] = 0.5 * (
-                        V[i * m + j] + V[j * m + i])
-            return r_new, N_new
+                    s = J[i][0] * V_n[j]
+                    for l in range(1, m):
+                        s = s + J[i][l] * V_n[l * m + j]
+                    cc_s[t * mm + i * m + j] = s
+            return ah, V
         return bwd
 
-    carry = (r0, N0)
+    carry = ([a_n[i] for i in range(m)], [P_n[ij] for ij in range(mm)])
     for cb in range(nchb - 1, -1, -1):
         slot = cb % 2
         if cb + 2 < nchb:                       # buffer reuse: wait out-DMA

@@ -196,10 +196,11 @@ def test_psi_logw_estimates_match_psi_filter(rng):
     specs, als = _ng_batch(rng, 31, 1)
     spec = jax.tree_util.tree_map(lambda a: a[0], specs)
     al = jax.tree_util.tree_map(lambda a: a[0], als)
-    keys = jax.random.split(jax.random.PRNGKey(0), 24)
-    a = np.mean([float(pf.psi_logw(spec, al, 64, k)) for k in keys[:12]])
+    keys = jax.random.split(jax.random.PRNGKey(0), 96)
+    a = np.mean([float(pf.psi_logw(spec, al, 64, k)) for k in keys[:48]])
     b = np.mean([float(pf.psi_filter(spec, al, 64, k).loglik)
-                 for k in keys[12:]])
+                 for k in keys[48:]])
+    # per-key sd ~= 0.07 => MC se of the diff ~= 0.014; 0.05 ~= 3.5 sigma
     assert abs(a - b) < 0.05
 
 
@@ -291,3 +292,50 @@ def test_rts_factors_match_smoother_oracle(rng):
     n1 = lerr.shape[0]
     assert (lerr < 1e-3).sum() >= n1 - 5, lerr
     assert (aerr < 1e-3).sum() >= n1 - 5, aerr
+
+
+def test_f32_is_weights_stable_at_degenerate_theta(rng):
+    """Regression: the f32 psi-APF IS correction must not blow up at
+    near-degenerate state noise.  Pre-J-form-smoother, the Durbin-Koopman
+    N-recursion (V = P - P N P) lost the smoothed covariance to diffuse-P1
+    cancellation (negative variances), and the hard pinv tolerance turned
+    eigenvalue noise into conditional gains |A| ~ 500: single corrections
+    returned log-weights in the thousands and ESS_IS collapsed to ~1.
+    The psi correction satisfies |log_w| <~ 1 by design (suggest_N targets
+    sd < 1, `/root/reference/R/post_correction.R:12-46`)."""
+    import jax.numpy as jnp
+    from bssm_tpu.core.priors import halfnormal_prior
+    from bssm_tpu.inference import approx as amod
+    from bssm_tpu.inference.mcmc import _make_correct_one
+    from bssm_tpu.models.bsm import bsm_ng
+
+    n = 97
+    slope = np.cumsum(rng.normal(0, 0.01, n))
+    level = np.cumsum(slope + rng.normal(0, 0.1, n)) + 2.0
+    y = rng.poisson(np.exp(0.5 * level / np.abs(level).max() + 1.0))
+    model = bsm_ng(y.astype(float), sd_level=halfnormal_prior(0.1, 1.0),
+                   sd_slope=halfnormal_prior(0.01, 0.1),
+                   distribution="poisson", dtype=jnp.float32)
+    # the observed failure regime: sd_level ~ 2e-3, sd_slope ~ 3e-5
+    th = jnp.asarray(np.log([[1.9e-3, 2.9e-5], [2.4e-4, 3.9e-3],
+                             [1.0e-5, 1.0e-5], [0.04, 0.003]]), jnp.float32)
+    modes = jnp.stack([amod.approximate(model.build(t)).mode for t in th])
+    c1 = _make_correct_one(model, 10, "psi",
+                           want_states=False, want_moments=False)
+    f = jax.jit(jax.vmap(lambda t, m, k: c1((t, m, k))["log_w"]))
+    for old, fused in ((config.fused_kernels, True),):
+        try:
+            config.set_fused_kernels(fused)
+            for seed in (0, 1, 2):
+                keys = jax.random.split(jax.random.PRNGKey(seed), 4)
+                lw = np.asarray(f(th, modes, keys))
+                assert np.all(np.isfinite(lw)), lw
+                assert np.abs(lw).max() < 3.0, lw
+        finally:
+            config.set_fused_kernels(old)
+    # scan path too
+    for seed in (0, 1, 2):
+        keys = jax.random.split(jax.random.PRNGKey(seed + 7), 4)
+        lw = np.asarray(f(th, modes, keys))
+        assert np.all(np.isfinite(lw)), lw
+        assert np.abs(lw).max() < 3.0, lw
