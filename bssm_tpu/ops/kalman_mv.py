@@ -129,32 +129,29 @@ class MVSmoothResult(NamedTuple):
 
 def smoother_mv(spec: MVLGSpec) -> MVSmoothResult:
     """RTS smoother with lag-1 cross-covariances
-    (`/root/reference/src/model_ssm_mlg.cpp:140-398`)."""
+    (`/root/reference/src/model_ssm_mlg.cpp:140-398`).
+
+    J-form recursion rather than the reference's Durbin-Koopman
+    N-recursion, for the same f32 diffuse-P1 stability reason as
+    `ops.kalman.smoother` (see its docstring)."""
+    from .chol import _psd_pinv
     r = kfilter_mv(spec)
-    n, m = spec.n, spec.m
+    m = spec.m
     dt = spec.y.dtype
-    _, mask_all, _, _, Tb, _, _, _ = _step_arrays(spec)
+    _, _, _, _, Tb, _, _, _ = _step_arrays(spec)
 
     def back(carry, xs):
-        rt, Nt = carry
-        v, cholF, K, Zm, T, a, P, P_next, mask = xs
-        any_obs = jnp.any(mask)
-        # ZFinv = Z' F^{-1}
-        ZFinv = jax.scipy.linalg.cho_solve((cholF, True), Zm).T   # (m, p)
-        L_obs = T @ (jnp.eye(m, dtype=dt) - K @ Zm)
-        L = jnp.where(any_obs, L_obs, T)
-        ccov = P @ L.T @ (jnp.eye(m, dtype=dt) - Nt @ P_next)
-        r_new = jnp.where(any_obs, ZFinv @ v, 0.0) + L.T @ rt
-        N_new = jnp.where(any_obs, ZFinv @ Zm, 0.0) + L.T @ Nt @ L
-        N_new = 0.5 * (N_new + N_new.T)
-        ahat = a + P @ r_new
-        V = P - P @ N_new @ P
+        ahat_next, V_next = carry
+        T, att, Ptt, a_next, P_next = xs
+        J = Ptt @ T.T @ _psd_pinv(P_next)
+        ahat = att + J @ (ahat_next - a_next)
+        V = Ptt + J @ (V_next - P_next) @ J.T
         V = 0.5 * (V + V.T)
-        return (r_new, N_new), (ahat, V, ccov)
+        ccov = J @ V_next
+        return (ahat, V), (ahat, V, ccov)
 
-    init = (jnp.zeros((m,), dt), jnp.zeros((m, m), dt))
-    xs = (r.vt, r.cholF, r.Kt, r.Zm, Tb, r.at[:-1], r.Pt[:-1], r.Pt[1:],
-          mask_all)
+    init = (r.at[-1], r.Pt[-1])
+    xs = (Tb, r.att, r.Ptt, r.at[1:], r.Pt[1:])
     _, (ahat, Vt, ccov) = jax.lax.scan(back, init, xs, reverse=True)
     ahat = jnp.concatenate([ahat, r.at[-1][None]], axis=0)
     Vt = jnp.concatenate([Vt, r.Pt[-1][None]], axis=0)

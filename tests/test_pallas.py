@@ -339,3 +339,60 @@ def test_f32_is_weights_stable_at_degenerate_theta(rng):
         lw = np.asarray(f(th, modes, keys))
         assert np.all(np.isfinite(lw)), lw
         assert np.abs(lw).max() < 3.0, lw
+
+
+@pytest.mark.parametrize("m", [3, 4])
+def test_rts_factors_m34_match_oracle(rng, m):
+    """m in {3, 4} routes the RTS/factor kernel through the in-kernel
+    cyclic-Jacobi eigensystem; compare the order-invariant quantities
+    (alphahat, L L', A) against the scan + jnp.linalg.eigh oracle."""
+    from bssm_tpu.ops.chol import conditional_cov_factors
+    from bssm_tpu.ops.pallas_kalman import fused_smoother_factors_batched
+    n, B = 29, 3
+    spec = _batched_spec(rng, n, m, B, missing=True)
+    old = config.fused_kernels
+    try:
+        config.set_fused_kernels(True)
+        out = fused_smoother_factors_batched(spec, B, interpret=True)
+    finally:
+        config.set_fused_kernels(old)
+    assert out is not None
+    ahat, Lc, Ac = out
+
+    def base(s):
+        sm = kalman.smoother(s)
+        L, A = conditional_cov_factors(sm.Vt, sm.ccov)
+        return sm.alphahat, L, A
+
+    ra, rl, rc = jax.vmap(base)(spec)
+    np.testing.assert_allclose(np.asarray(ahat), np.asarray(ra),
+                               rtol=1e-3, atol=1e-3)
+    LL = np.einsum('btij,btkj->btik', np.asarray(Lc), np.asarray(Lc))
+    LLr = np.einsum('btij,btkj->btik', np.asarray(rl), np.asarray(rl))
+    np.testing.assert_allclose(LL, LLr, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(Ac), np.asarray(rc),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_psi_kernel_n32_matches_scan(rng):
+    """N = 32 (the suggest_N-recommended range) through the fused psi
+    kernel (`/root/reference/R/post_correction.R:149-151`)."""
+    from bssm_tpu.inference import particle as pf
+    from bssm_tpu.ops.pallas_kalman import fused_psi_logw_batched
+    n, B, N = 23, 3, 32
+    old = config.fused_kernels
+    try:
+        config.set_fused_kernels(True)
+        specs, als = _ng_batch(rng, n, B)
+        m = specs.a1.shape[-1]
+        eps = jax.random.normal(jax.random.PRNGKey(1), (B, n + 1, N, m),
+                                jnp.float32)
+        us = jax.random.uniform(jax.random.PRNGKey(2), (B, n, N),
+                                jnp.float32)
+        ref = jax.vmap(pf.psi_logw_scan)(specs, als, eps, us)
+        out = fused_psi_logw_batched(specs, als, eps, us, B, interpret=True)
+        assert out is not None
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+    finally:
+        config.set_fused_kernels(old)
