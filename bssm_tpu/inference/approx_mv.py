@@ -173,54 +173,58 @@ def _bcz(A, n):
 
 def psi_filter_mv(spec: MVNGSpec, al: MVApproxLoglik, nsim: int, key
                   ) -> MVPFResult:
-    """psi-APF (`/root/reference/src/model_ssm_mng.cpp` psi path)."""
+    """psi-APF (`/root/reference/src/model_ssm_mng.cpp` psi path).
+
+    Backward-factorized proposal (generation t = n..0) with pre-traced,
+    time-ordered trajectories and identity indices in the result — see
+    `particle.psi_filter` / `ops.kalman.smoother_bwd_factors` for the f32
+    rationale."""
+    from ..ops.resample import ancestor_trace
     n, m, p = spec.n, spec.m, spec.p
     dt = spec.y.dtype
     g = al.approx.gaussian(spec)
-    sm = kalman_mv.smoother_mv(g)
-    Lc, Ac = conditional_cov_factors(sm.Vt, sm.ccov)
-    ahat = sm.alphahat
+    ahat, Lb, Ab = kalman_mv.smoother_bwd_factors_mv(g)
     Zb = _bcz(spec.Z, n)
     Db = jnp.broadcast_to(spec.D, (n, p)).astype(dt)
 
-    def weights_at(t, alpha_p):
-        sig = Db[t] + alpha_p @ Zb[t].T      # (N, p)
-        lw = _log_weights_mv(spec, sig, spec.y[t], spec.u[t],
-                             al.approx.ytilde[t], al.approx.Htilde[t])
-        return lw - al.scales[t]
-
     key, k0 = jax.random.split(key)
-    alpha0 = ahat[0] + jax.random.normal(k0, (nsim, m), dt) @ Lc[0].T
-    y0ok = jnp.any(jnp.isfinite(spec.y[0]))
-    inc0, nw0 = _lse(jnp.where(y0ok, weights_at(0, alpha0), 0.0), nsim, dt)
-    ll0 = al.loglik + jnp.where(y0ok, inc0, 0.0)
-    nw0 = jnp.where(y0ok, nw0, jnp.ones((nsim,), dt) / nsim)
+    alpha0 = ahat[n] + jax.random.normal(k0, (nsim, m), dt) @ Lb[n].T
+    nw0 = jnp.ones((nsim,), dt) / nsim
+    ll0 = al.loglik
 
     keys = jax.random.split(key, n)
+    flip = lambda a: jnp.flip(a, axis=0)                   # noqa: E731
 
     def step(carry, xs):
-        alpha_t, nw, ll, t = carry
-        kt = xs
+        alpha_prev, nw, ll = carry          # ensemble of state t+1
+        (kt, ah_t, ah_prev, A_t, L_t, y_t, u_t, yt_t, H_t, sc_t,
+         Z_t, D_t) = xs
         kr, kp = jax.random.split(kt)
         idx = stratified_indices(nw, kr)
-        anc = alpha_t[idx]
+        anc = alpha_prev[idx]
         um = jax.random.normal(kp, (nsim, m), dt)
-        alpha_next = ahat[t + 1] + (anc - ahat[t]) @ Ac[t + 1].T \
-            + um @ Lc[t + 1].T
-        is_last = t + 1 >= n
-        tt = jnp.minimum(t + 1, n - 1)
-        valid = jnp.any(jnp.isfinite(spec.y[tt])) & (~is_last)
-        lw = weights_at(tt, alpha_next)
+        alpha_t = ah_t + (anc - ah_prev) @ A_t.T + um @ L_t.T
+        sig = D_t + alpha_t @ Z_t.T
+        lw = _log_weights_mv(spec, sig, y_t, u_t, yt_t, H_t) - sc_t
+        valid = jnp.any(jnp.isfinite(y_t))
         inc, nw_new = _lse(jnp.where(valid, lw, 0.0), nsim, dt)
         ll = ll + jnp.where(valid, inc, 0.0)
         nw_new = jnp.where(valid, nw_new, jnp.ones((nsim,), dt) / nsim)
-        return (alpha_next, nw_new, ll, t + 1), (alpha_next, nw_new, idx)
+        return (alpha_t, nw_new, ll), (alpha_t, nw_new, idx)
 
-    (_, _, ll, _), (alphas, nws, idxs) = jax.lax.scan(
-        step, (alpha0, nw0, ll0, jnp.zeros((), jnp.int32)), keys)
-    alpha = jnp.concatenate([alpha0[None], alphas], axis=0)
+    xs = (keys, flip(ahat[:-1]), flip(ahat[1:]), flip(Ab[:-1]),
+          flip(Lb[:-1]), flip(spec.y), flip(spec.u),
+          flip(al.approx.ytilde), flip(al.approx.Htilde), flip(al.scales),
+          flip(Zb), flip(Db))
+    (_, _, ll), (alphas, nws, idxs) = jax.lax.scan(
+        step, (alpha0, nw0, ll0), xs)
+    alpha_gen = jnp.concatenate([alpha0[None], alphas], axis=0)
+    traced = ancestor_trace(jnp.swapaxes(alpha_gen, 0, 1), idxs.T)
+    traced = jnp.flip(traced, axis=1)
     weights = jnp.concatenate([nw0[None], nws], axis=0)
-    return MVPFResult(ll, jnp.swapaxes(alpha, 0, 1), weights.T, idxs.T)
+    identity = jnp.broadcast_to(jnp.arange(nsim, dtype=idxs.dtype)[:, None],
+                                (nsim, n))
+    return MVPFResult(ll, traced, weights.T, identity)
 
 
 def bsf_filter_mv(spec: MVNGSpec, nsim: int, key) -> MVPFResult:

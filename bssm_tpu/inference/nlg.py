@@ -345,76 +345,82 @@ def _lse(logw, N, dt):
 
 def psi_filter_nlg(spec: NLGSpec, ap: NLGApprox, nsim: int, key
                    ) -> NLGPFResult:
-    """psi-APF for nonlinear models: weights are obs-density ratios plus the
-    transition-density ratio mu/mu~
-    (`/root/reference/src/model_ssm_nlg.cpp:971-1065,880-937`)."""
+    """psi-APF for nonlinear models: weights are obs-density ratios plus
+    the transition-density ratio mu/mu~
+    (`/root/reference/src/model_ssm_nlg.cpp:971-1065,880-937`).
+
+    Backward-factorized proposal (generation t = n..0, see
+    `particle.psi_filter`); the transition ratio for the pair
+    (alpha_t, alpha_{t+1}) attaches at the step that generates alpha_t —
+    the extended target's last transition (into the obs-free alpha_n)
+    cancels the proposal's exactly, so only pairs with t+1 <= n-1 carry a
+    ratio, matching the forward formulation term-for-term.  Returns
+    pre-traced time-ordered trajectories with identity indices."""
+    from ..ops.resample import ancestor_trace
     n, m = spec.n, spec.m
     dt = spec.y.dtype
     g = ap.approx
-    sm = kalman_mv.smoother_mv(g)
-    Lc, Ac = conditional_cov_factors(sm.Vt, sm.ccov)
-    ahat = sm.alphahat
+    ahat, Lb, Ab = kalman_mv.smoother_bwd_factors_mv(g)
 
-    def log_w(t, alpha_t, alpha_prev, has_prev):
-        """per-particle log weight at time t (alpha_t (N,m))."""
+    def obs_w(t, alpha_t):
         mask = jnp.isfinite(spec.y[t])
 
         def one_obs(a):
             return _obs_logdens(spec, t, a) - _approx_obs_logdens(
                 g, mask, t, a, dt)
 
-        w = jnp.where(jnp.any(mask), jax.vmap(one_obs)(alpha_t), 0.0)
+        return jnp.where(jnp.any(mask),
+                         jax.vmap(one_obs)(alpha_t) - ap.scales[t], 0.0)
 
-        def one_trans(a_prev, a):
-            mean = spec.T_fn(t - 1, a_prev, spec.theta)
-            R = spec.R_fn(t - 1, a_prev, spec.theta)
-            amean = g.C[t - 1] + g.T[t - 1] @ a_prev
-            RR = jnp.einsum('ij,kj->ik', g.R[t - 1], g.R[t - 1])
-            return dmvnorm(a, mean, R @ R.T) - dmvnorm(a, amean, RR)
+    def trans_w(t, alpha_t, alpha_next):
+        """log mu(alpha_{t+1}|alpha_t) - log mu~(...), pair (t, t+1)."""
+        def one(a, a_next):
+            mean = spec.T_fn(t, a, spec.theta)
+            R = spec.R_fn(t, a, spec.theta)
+            amean = g.C[t] + g.T[t] @ a
+            RR = jnp.einsum('ij,kj->ik', g.R[t], g.R[t])
+            return dmvnorm(a_next, mean, R @ R.T) - dmvnorm(a_next, amean,
+                                                            RR)
 
-        wt = jax.lax.cond(
-            has_prev,
-            lambda _: jax.vmap(one_trans)(alpha_prev, alpha_t),
-            lambda _: jnp.zeros(alpha_t.shape[0], dt), None)
-        return w + wt
+        return jax.vmap(one)(alpha_t, alpha_next)
 
     key, k0 = jax.random.split(key)
     u0 = jax.random.normal(k0, (nsim, m), dt)
-    alpha0 = ahat[0] + u0 @ Lc[0].T
-
-    y0_any = jnp.any(jnp.isfinite(spec.y[0]))
-    lw0 = log_w(0, alpha0, alpha0, jnp.asarray(False)) - ap.scales[0]
-    inc0, nw0 = _lse(jnp.where(y0_any, lw0, 0.0), nsim, dt)
-    ll0 = ap.loglik + jnp.where(y0_any, inc0, 0.0)
-    nw0 = jnp.where(y0_any, nw0, jnp.ones((nsim,), dt) / nsim)
+    alpha0 = ahat[n] + u0 @ Lb[n].T         # alpha_n: no obs, no ratio
+    nw0 = jnp.ones((nsim,), dt) / nsim
+    ll0 = ap.loglik
 
     keys = jax.random.split(key, n)
 
     def step(carry, xs):
-        alpha_t, nw, ll, t = carry
+        alpha_prev, nw, ll, s = carry       # ensemble of state t+1
         kt = xs
+        t = n - 1 - s                       # state generated this step
         kr, kp = jax.random.split(kt)
         idx = stratified_indices(nw, kr)
-        anc = alpha_t[idx]
+        anc = alpha_prev[idx]
         um = jax.random.normal(kp, (nsim, m), dt)
-        alpha_next = ahat[t + 1] + (anc - ahat[t]) @ Ac[t + 1].T \
-            + um @ Lc[t + 1].T
-        is_last = t + 1 >= n
-        yn_any = jnp.any(jnp.isfinite(
-            jnp.where(is_last, jnp.nan, spec.y[jnp.minimum(t + 1, n - 1)])))
-        tt = jnp.minimum(t + 1, n - 1)
-        lw = log_w(tt, alpha_next, anc, jnp.asarray(True)) - ap.scales[tt]
-        valid = yn_any & (~is_last)
-        inc, nw_new = _lse(jnp.where(valid, lw, 0.0), nsim, dt)
-        ll = ll + jnp.where(valid, inc, 0.0)
-        nw_new = jnp.where(valid, nw_new, jnp.ones((nsim,), dt) / nsim)
-        return (alpha_next, nw_new, ll, t + 1), (alpha_next, nw_new, idx)
+        ah_t = ahat[t]
+        alpha_t = ah_t + (anc - ahat[t + 1]) @ Ab[t].T + um @ Lb[t].T
+        lw = obs_w(t, alpha_t)
+        # transition ratio for (t -> t+1); the pair into alpha_n cancels
+        lw = lw + jnp.where(t + 1 <= n - 1,
+                            trans_w(t, alpha_t, anc), 0.0)
+        inc, nw_new = _lse(lw, nsim, dt)
+        ok = jnp.isfinite(inc)
+        ll = ll + jnp.where(ok, inc, 0.0)
+        nw_new = jnp.where(ok, nw_new, jnp.ones((nsim,), dt) / nsim)
+        return (alpha_t, nw_new, ll, s + 1), (alpha_t, nw_new, idx)
 
     (_, _, ll, _), (alphas, nws, idxs) = jax.lax.scan(
         step, (alpha0, nw0, ll0, jnp.zeros((), jnp.int32)), keys)
-    alpha = jnp.concatenate([alpha0[None], alphas], axis=0)
+    alpha_gen = jnp.concatenate([alpha0[None], alphas], axis=0)
+    traced = ancestor_trace(jnp.swapaxes(alpha_gen, 0, 1), idxs.T)
+    traced = jnp.flip(traced, axis=1)
     weights = jnp.concatenate([nw0[None], nws], axis=0)
-    return NLGPFResult(ll, jnp.swapaxes(alpha, 0, 1), weights.T, idxs.T)
+    identity = jnp.broadcast_to(jnp.arange(nsim, dtype=idxs.dtype)[:, None],
+                                (nsim, n))
+    return NLGPFResult(ll, traced, weights.T, identity)
 
 
 def bsf_filter_nlg(spec: NLGSpec, nsim: int, key) -> NLGPFResult:

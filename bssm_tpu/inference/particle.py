@@ -61,16 +61,28 @@ def psi_filter(spec: NGSpec, al: ApproxLoglik, nsim: int, key) -> PFResult:
     """psi-auxiliary particle filter twisted by the Gaussian approximation
     (`/root/reference/src/model_ssm_ung.cpp:511-609`).
 
-    Proposal: the smoothing distribution of the approximating LG model,
-    factorised into conditionals N(ahat_t + A_t (a_{t-1} - ahat_{t-1}),
-    L_t L_t') via the smoother cross-covariances."""
+    Proposal: the smoothing distribution of the approximating LG model in
+    its BACKWARD (FFBS) factorization — generation runs t = n..0, drawing
+    alpha_n from the smoothed marginal and then each alpha_t from
+    N(ahat_t + J_t (alpha_{t+1} - ahat_{t+1}), Lb_t Lb_t'); observation
+    weights attach at the step that generates their state.  The estimator
+    is the same psi-APF (the factorization order does not change the
+    proposal's joint law); the backward gains are f32-stable where the
+    reference's forward conditionals (ccov' V^+) are not — see
+    `ops.kalman.smoother_bwd_factors`.
+
+    The returned PFResult carries ALREADY-TRACED trajectories in time
+    order with identity resampling indices, so downstream
+    `ancestor_trace(pf.alpha, pf.indices)` is a no-op gather and
+    `pf.weights[:, -1]` are the final (t = 0 generation step) weights."""
     n, m = spec.n, spec.m
     dt = spec.y.dtype
     g = al.approx.gaussian(spec)
-    # smoother + conditional factors fused into one Pallas kernel under
-    # vmap (the IS-correction draws axis); scan fallback otherwise
-    from ..ops.pallas_kalman import smoother_factors_auto
-    ahat, Lcond, Acond = smoother_factors_auto(g)          # (n+1, m), ...
+    # smoother + backward factors fused into one Pallas kernel under vmap
+    # (the IS-correction draws axis); scan fallback otherwise
+    from ..ops.pallas_kalman import smoother_bwd_factors_auto
+    from ..ops.resample import ancestor_trace
+    ahat, Lb, Ab = smoother_bwd_factors_auto(g)            # (n+1, m), ...
 
     Zb = _bc(spec.Z, n)
     Db = _bc(spec.D.astype(dt), n)
@@ -78,59 +90,49 @@ def psi_filter(spec: NGSpec, al: ApproxLoglik, nsim: int, key) -> PFResult:
 
     key, k0 = jax.random.split(key)
     u0 = jax.random.normal(k0, (nsim, m), dt)
-    alpha0 = ahat[0] + u0 @ Lcond[0].T
+    alpha0 = ahat[n] + u0 @ Lb[n].T         # alpha_n: no observation
+    nw0 = jnp.ones((nsim,), dt) / nsim
+    loglik0 = al.loglik
 
-    def weight_at(t_idx, alpha_p, y_t, u_t, Z_t, D_t, yt_t, H_t, sc_t):
+    def weight_at(alpha_p, y_t, u_t, Z_t, D_t, yt_t, H_t, sc_t):
         s = _signals(spec, alpha_p, Z_t, D_t)
-        lw = fam.log_weights(spec.distribution, y_t, u_t, spec.phi,
-                             s, yt_t, H_t) - sc_t
-        return lw
-
-    y0ok = jnp.isfinite(spec.y[0])
-    lw0 = weight_at(0, alpha0, spec.y[0], spec.u[0], Zb[0], Db[0],
-                    al.approx.ytilde[0], al.approx.Htilde[0], scl[0])
-    inc0, nw0 = _lse_update(jnp.where(y0ok, lw0, 0.0), nsim, dt)
-    loglik0 = al.loglik + jnp.where(y0ok, inc0, 0.0)
-    nw0 = jnp.where(y0ok, nw0, jnp.ones((nsim,), dt) / nsim)
-    w_col0 = nw0
-
-    # per-step observation arrays for t+1 (padded: index n -> missing)
-    pad_nan = jnp.full((1,), jnp.nan, dt)
-    y_next = jnp.concatenate([spec.y[1:], pad_nan])
-    u_next = jnp.concatenate([spec.u[1:], jnp.ones((1,), dt)])
-    yt_next = jnp.concatenate([al.approx.ytilde[1:], pad_nan])
-    H_next = jnp.concatenate([al.approx.Htilde[1:], jnp.ones((1,), dt)])
-    sc_next = jnp.concatenate([scl[1:], jnp.zeros((1,), dt)])
-    Z_next = jnp.concatenate([Zb[1:], Zb[-1:]])
-    D_next = jnp.concatenate([Db[1:], Db[-1:]])
+        return fam.log_weights(spec.distribution, y_t, u_t, spec.phi,
+                               s, yt_t, H_t) - sc_t
 
     keys = jax.random.split(key, n)
+    flip = lambda a: jnp.flip(a, axis=0)                   # noqa: E731
 
     def step(carry, xs):
-        alpha_t, nw, ll = carry
-        (kt, ahat_t, ahat_n, A_n, L_n, y_n, u_n, yt_n, H_n, sc_n,
-         Z_n, D_n) = xs
+        alpha_prev, nw, ll = carry          # ensemble of state t+1
+        (kt, ah_t, ah_prev, A_t, L_t, y_t, u_t, yt_t, H_t, sc_t,
+         Z_t, D_t) = xs
         kr, kp = jax.random.split(kt)
         idx = stratified_indices(nw, kr)
-        anc = alpha_t[idx]
+        anc = alpha_prev[idx]
         um = jax.random.normal(kp, (nsim, m), dt)
-        alpha_next = ahat_n + (anc - ahat_t) @ A_n.T + um @ L_n.T
-        ok = jnp.isfinite(y_n)
-        lw = weight_at(None, alpha_next, y_n, u_n, Z_n, D_n, yt_n, H_n, sc_n)
+        alpha_t = ah_t + (anc - ah_prev) @ A_t.T + um @ L_t.T
+        ok = jnp.isfinite(y_t)
+        lw = weight_at(alpha_t, y_t, u_t, Z_t, D_t, yt_t, H_t, sc_t)
         inc, nw_new = _lse_update(jnp.where(ok, lw, 0.0), nsim, dt)
         ll = ll + jnp.where(ok, inc, 0.0)
         nw_new = jnp.where(ok, nw_new, jnp.ones((nsim,), dt) / nsim)
-        return (alpha_next, nw_new, ll), (alpha_next, nw_new, idx)
+        return (alpha_t, nw_new, ll), (alpha_t, nw_new, idx)
 
-    xs = (keys, ahat[:-1], ahat[1:], Acond[1:], Lcond[1:],
-          y_next, u_next, yt_next, H_next, sc_next, Z_next, D_next)
+    xs = (keys, flip(ahat[:-1]), flip(ahat[1:]), flip(Ab[:-1]),
+          flip(Lb[:-1]), flip(spec.y), flip(spec.u),
+          flip(al.approx.ytilde), flip(al.approx.Htilde), flip(scl),
+          flip(Zb), flip(Db))
     (_, _, loglik), (alphas, nws, idxs) = jax.lax.scan(
         step, (alpha0, nw0, loglik0), xs)
 
-    alpha = jnp.concatenate([alpha0[None], alphas], axis=0)   # (n+1, N, m)
-    weights = jnp.concatenate([w_col0[None], nws], axis=0)    # (n+1, N)
-    return PFResult(loglik, jnp.swapaxes(alpha, 0, 1),
-                    weights.T, idxs.T)
+    # generation-order cloud (step 0 = t = n), traced then time-flipped
+    alpha_gen = jnp.concatenate([alpha0[None], alphas], axis=0)
+    traced = ancestor_trace(jnp.swapaxes(alpha_gen, 0, 1), idxs.T)
+    traced = jnp.flip(traced, axis=1)                      # (N, n+1, m)
+    weights = jnp.concatenate([nw0[None], nws], axis=0)    # gen order
+    identity = jnp.broadcast_to(jnp.arange(nsim, dtype=idxs.dtype)[:, None],
+                                (nsim, n))
+    return PFResult(loglik, traced, weights.T, identity)
 
 
 def _prior_particles(a1, P1, nsim, key, dt):
@@ -269,56 +271,45 @@ def psi_logw(spec: NGSpec, al: ApproxLoglik, nsim: int, key) -> jnp.ndarray:
 def psi_logw_scan(spec: NGSpec, al: ApproxLoglik, eps: jnp.ndarray,
                   us: jnp.ndarray) -> jnp.ndarray:
     """Scan implementation of the psi-APF log-weight with injected
-    randomness; semantics identical to ``psi_filter`` minus trajectory
-    storage (`/root/reference/src/model_ssm_ung.cpp:511-609`)."""
-    from ..ops.pallas_kalman import smoother_factors_auto
+    randomness; semantics identical to ``psi_filter`` (backward-factorized
+    proposal) minus trajectory storage
+    (`/root/reference/src/model_ssm_ung.cpp:511-609`)."""
+    from ..ops.pallas_kalman import smoother_bwd_factors_auto
     from ..ops.resample import stratified_indices_from_uniforms
     n, m = spec.n, spec.m
     nsim = eps.shape[1]
     dt = spec.y.dtype
     g = al.approx.gaussian(spec)
-    ahat, Lcond, Acond = smoother_factors_auto(g)
+    ahat, Lb, Ab = smoother_bwd_factors_auto(g)
     Zb = _bc(spec.Z, n)
     Db = _bc(spec.D.astype(dt), n)
     scl = al.scales
 
-    alpha0 = ahat[0] + eps[0] @ Lcond[0].T
-    y0ok = jnp.isfinite(spec.y[0])
-    s0 = _signals(spec, alpha0, Zb[0], Db[0])
-    lw0 = fam.log_weights(spec.distribution, spec.y[0], spec.u[0], spec.phi,
-                          s0, al.approx.ytilde[0], al.approx.Htilde[0]) \
-        - scl[0]
-    inc0, nw0 = _lse_update(jnp.where(y0ok, lw0, 0.0), nsim, dt)
-    ll0 = jnp.where(y0ok, inc0, 0.0)
-    nw0 = jnp.where(y0ok, nw0, jnp.ones((nsim,), dt) / nsim)
-
-    pad_nan = jnp.full((1,), jnp.nan, dt)
-    y_next = jnp.concatenate([spec.y[1:], pad_nan])
-    u_next = jnp.concatenate([spec.u[1:], jnp.ones((1,), dt)])
-    yt_next = jnp.concatenate([al.approx.ytilde[1:], pad_nan])
-    H_next = jnp.concatenate([al.approx.Htilde[1:], jnp.ones((1,), dt)])
-    sc_next = jnp.concatenate([scl[1:], jnp.zeros((1,), dt)])
-    Z_next = jnp.concatenate([Zb[1:], Zb[-1:]])
-    D_next = jnp.concatenate([Db[1:], Db[-1:]])
+    alpha0 = ahat[n] + eps[0] @ Lb[n].T     # alpha_n: no observation
+    nw0 = jnp.ones((nsim,), dt) / nsim
+    ll0 = jnp.zeros((), dt)
+    flip = lambda a: jnp.flip(a, axis=0)                   # noqa: E731
 
     def step(carry, xs):
-        alpha_t, nw, ll = carry
-        (r_t, e_t, ahat_t, ahat_n, A_n, L_n, y_n, u_n, yt_n, H_n, sc_n,
-         Z_n, D_n) = xs
+        alpha_prev, nw, ll = carry          # ensemble of state t+1
+        (r_t, e_t, ah_t, ah_prev, A_t, L_t, y_t, u_t, yt_t, H_t, sc_t,
+         Z_t, D_t) = xs
         idx = stratified_indices_from_uniforms(nw, r_t)
-        anc = alpha_t[idx]
-        alpha_next = ahat_n + (anc - ahat_t) @ A_n.T + e_t @ L_n.T
-        ok = jnp.isfinite(y_n)
-        s = _signals(spec, alpha_next, Z_n, D_n)
-        lw = fam.log_weights(spec.distribution, y_n, u_n, spec.phi, s,
-                             yt_n, H_n) - sc_n
+        anc = alpha_prev[idx]
+        alpha_t = ah_t + (anc - ah_prev) @ A_t.T + e_t @ L_t.T
+        ok = jnp.isfinite(y_t)
+        s = _signals(spec, alpha_t, Z_t, D_t)
+        lw = fam.log_weights(spec.distribution, y_t, u_t, spec.phi, s,
+                             yt_t, H_t) - sc_t
         inc, nw_new = _lse_update(jnp.where(ok, lw, 0.0), nsim, dt)
         ll = ll + jnp.where(ok, inc, 0.0)
         nw_new = jnp.where(ok, nw_new, jnp.ones((nsim,), dt) / nsim)
-        return (alpha_next, nw_new, ll), None
+        return (alpha_t, nw_new, ll), None
 
-    xs = (us, eps[1:], ahat[:-1], ahat[1:], Acond[1:], Lcond[1:],
-          y_next, u_next, yt_next, H_next, sc_next, Z_next, D_next)
+    xs = (us, eps[1:], flip(ahat[:-1]), flip(ahat[1:]), flip(Ab[:-1]),
+          flip(Lb[:-1]), flip(spec.y), flip(spec.u),
+          flip(al.approx.ytilde), flip(al.approx.Htilde), flip(scl),
+          flip(Zb), flip(Db))
     (_, _, ll), _ = jax.lax.scan(step, (alpha0, nw0, ll0), xs)
     return ll
 

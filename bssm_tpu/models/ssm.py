@@ -213,13 +213,22 @@ def ssm_mng(y, Z, T, R, distributions, phi=None, u=None, a1=None, P1=None,
                        {"m": m, "n": n, "p": p}, theta_names)
 
 
-def as_bssm(y, Z, H, T, R, a1=None, P1=None, D=None, C=None,
-            distribution=None, phi=1.0, u=None, **kwargs):
-    """Build a general model from raw system matrices — the Python analogue
-    of the reference's KFAS converter (`/root/reference/R/as_bssm.R:26`):
-    Gaussian matrices map to ssm_ulg/ssm_mlg, an observation family to
-    ssm_ung/ssm_mng."""
+def as_bssm(y, Z=None, H=None, T=None, R=None, a1=None, P1=None, D=None,
+            C=None, distribution=None, phi=1.0, u=None, kappa=100.0,
+            **kwargs):
+    """Convert a KFAS `SSModel` — a parsed dict or a path to a `saveRDS`
+    .rds file — or raw system matrices into the matching bssm model
+    (`/root/reference/R/as_bssm.R:26-154`).  SSModel ingestion replicates
+    the reference's kappa-for-diffuse P1 handling and R/H re-factorisation
+    (see `utils.kfas.as_bssm_kfas`)."""
     import numpy as _np
+    if isinstance(y, (str, dict)):
+        from ..utils.kfas import as_bssm_kfas
+        return as_bssm_kfas(y, kappa=kappa, **kwargs)
+    if Z is None or H is None and distribution is None or T is None \
+            or R is None:
+        raise ValueError("as_bssm needs an SSModel (dict/.rds path) or the "
+                         "full Z/H/T/R system")
     y_np = _np.asarray(y, _np.float64)
     multivariate = y_np.ndim == 2 and y_np.shape[1] > 1
     if distribution is None:

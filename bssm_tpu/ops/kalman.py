@@ -222,6 +222,50 @@ def _mean_passes(spec: LGSpec, stats: SmootherStats) -> jnp.ndarray:
     return jnp.concatenate([alphas, alpha_n[None]], axis=0)
 
 
+def smoother_bwd_factors(spec: LGSpec):
+    """(ahat, Lb, Ab): the BACKWARD (FFBS) factorization of the smoothing
+    law — the psi-APF proposal factors.
+
+    The smoothing distribution factorizes backward in time,
+        alpha_n ~ N(ahat_n, P_{n|n-1}),
+        alpha_t | alpha_{t+1} ~ N(ahat_t + J_t (alpha_{t+1} - ahat_{t+1}),
+                                  Ptt_t - J_t P_{t+1|t} J_t'),
+    with J_t = Ptt_t T_t' P_{t+1|t}^+ the smoothing gain (identical
+    functional form to the forward factorization the reference samples,
+    `/root/reference/src/model_ssm_ung.cpp:511-609`, just time-reversed).
+
+    Deliberate deviation: the reference computes FORWARD conditionals
+    A = ccov' Vt^+ (`/root/reference/src/conditional_dist.cpp:4-67`), which
+    pseudo-inverts the smoothed covariance — a quantity formed by
+    cancellation whose small eigenvalues carry ~100% relative error at
+    f32, turning A into garbage (|A| ~ 500 observed on TPU).  The backward
+    gain J needs only filter quantities whose per-direction scales match,
+    and is f32-stable by construction.
+
+    Returns (ahat (n+1, m), Lb (n+1, m, m), Ab (n+1, m, m)) where
+    Ab[t] = J_t for t < n (gain from alpha_{t+1} to alpha_t), Ab[n] = 0,
+    Lb[t] = a square-root factor of the backward conditional covariance,
+    Lb[n] = factor(P_{n|n-1})."""
+    from .chol import _psd_factor, _psd_pinv
+    r = kfilter(spec)
+    _, _, _, _, Tb, _, _, _ = _step_arrays(spec)
+
+    def back(ahat_next, xs):
+        T, att, Ptt, a_next, P_next = xs
+        J = Ptt @ T.T @ _psd_pinv(P_next)
+        ahat = att + J @ (ahat_next - a_next)
+        Sig = Ptt - J @ P_next @ J.T
+        Sig = 0.5 * (Sig + Sig.T)
+        return ahat, (ahat, _psd_factor(Sig), J)
+
+    xs = (Tb, r.att, r.Ptt, r.at[1:], r.Pt[1:])
+    _, (ahat, Lb, Ab) = jax.lax.scan(back, r.at[-1], xs, reverse=True)
+    ahat = jnp.concatenate([ahat, r.at[-1][None]], axis=0)
+    Lb = jnp.concatenate([Lb, _psd_factor(r.Pt[-1])[None]], axis=0)
+    Ab = jnp.concatenate([Ab, jnp.zeros_like(Ab[:1])], axis=0)
+    return ahat, Lb, Ab
+
+
 class SmoothResult(NamedTuple):
     alphahat: jnp.ndarray  # (n+1, m)
     Vt: jnp.ndarray        # (n+1, m, m)

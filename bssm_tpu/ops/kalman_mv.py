@@ -127,6 +127,31 @@ class MVSmoothResult(NamedTuple):
     logLik: jnp.ndarray
 
 
+def smoother_bwd_factors_mv(spec: MVLGSpec):
+    """(ahat, Lb, Ab): backward (FFBS) factorization of the smoothing law
+    for the psi-APF proposal — multivariate analogue of
+    `ops.kalman.smoother_bwd_factors` (see its docstring for why this
+    replaces the reference's forward conditionals at f32)."""
+    from .chol import _psd_factor, _psd_pinv
+    r = kfilter_mv(spec)
+    _, _, _, _, Tb, _, _, _ = _step_arrays(spec)
+
+    def back(ahat_next, xs):
+        T, att, Ptt, a_next, P_next = xs
+        J = Ptt @ T.T @ _psd_pinv(P_next)
+        ahat = att + J @ (ahat_next - a_next)
+        Sig = Ptt - J @ P_next @ J.T
+        Sig = 0.5 * (Sig + Sig.T)
+        return ahat, (ahat, _psd_factor(Sig), J)
+
+    xs = (Tb, r.att, r.Ptt, r.at[1:], r.Pt[1:])
+    _, (ahat, Lb, Ab) = jax.lax.scan(back, r.at[-1], xs, reverse=True)
+    ahat = jnp.concatenate([ahat, r.at[-1][None]], axis=0)
+    Lb = jnp.concatenate([Lb, _psd_factor(r.Pt[-1])[None]], axis=0)
+    Ab = jnp.concatenate([Ab, jnp.zeros_like(Ab[:1])], axis=0)
+    return ahat, Lb, Ab
+
+
 def smoother_mv(spec: MVLGSpec) -> MVSmoothResult:
     """RTS smoother with lag-1 cross-covariances
     (`/root/reference/src/model_ssm_mlg.cpp:140-398`).

@@ -1062,10 +1062,10 @@ _MAX_M_RTS = 4     # m <= 2 closed-form eigh; m in {3,4} cyclic Jacobi
 
 def _rts_rows(n: int, m: int):
     """(scratch_rows, io_rows) of the streamed-io RTS kernel: per-time
-    scratch (v, F, ok, at, Pt, Vt, ccov) + the six chunk buffers; obs in
-    and ahat/Lc/Ac out stream through double-buffered DMA."""
+    scratch (v, F, ok, at, Pt) + the six chunk buffers; obs in and
+    ahat/Lb/Ab out stream through double-buffered DMA."""
     mm = m * m
-    scratch = (3 * n + (n + 1) * (m + 3 * mm)
+    scratch = (3 * n + (n + 1) * (m + mm)
                + 2 * _PSI_CHUNK * (3 + m + 2 * mm))
     io = 3 * m + 3 * mm + 2
     return scratch, io
@@ -1205,7 +1205,7 @@ def _lane_factor(m, V):
 def _rts_kernel(n: int, m: int, subs: int,
                 z_ref, t_ref, rr_ref, a1_ref, p1_ref, c_ref,
                 obs_hbm, ahat_hbm, lcac_hbm,
-                v_s, f_s, ok_s, at_s, pt_s, vt_s, cc_s,
+                v_s, f_s, ok_s, at_s, pt_s,
                 obs_buf, ahat_buf, lcac_buf, dma_sem):
     """Forward filter + RTS backward pass (means, variances, lag-1 ccov) +
     conditional proposal factors, one block of SUBS*LANES draws.
@@ -1288,20 +1288,19 @@ def _rts_kernel(n: int, m: int, subs: int,
             t_range=(base, min(base + ch, n)), carry_in=carry)
     a_n, P_n, _ = carry
     zero = jnp.zeros_like(a_n[0])
-    for ij in range(mm):
-        vt_s[n * mm + ij] = P_n[ij]
-        cc_s[n * mm + ij] = zero
 
-    # ---- backward pass (J-form RTS), ahat streamed out in reverse ----
-    # Deliberately NOT the reference's Durbin-Koopman N-recursion
-    # (V = P - P N P): with the bsm default P1 = 100 I that form cancels
-    # diffuse-scale quantities and produces garbage smoothed covariances at
-    # f32 (negative variances, conditional gains |A| ~ 500).  The J-form
-    # recursion V_t = Ptt + J (V_{t+1} - P_{t+1|t}) J' squashes early-time
-    # error by J^2; see ops/kalman.smoother.
+    # ---- backward pass: smoothed means + BACKWARD (FFBS) proposal
+    # factors, streamed out in reverse chunks ----
+    # Ab[t] = J_t = Ptt_t T' pinv(P_{t+1|t}) (the smoothing gain),
+    # Lb[t] = factor(Ptt_t - J_t P_{t+1|t} J_t'); the smoothed mean shares
+    # the same recursion (see ops/kalman.smoother_bwd_factors).  No
+    # smoothed-covariance pseudo-inverse appears anywhere: the reference's
+    # forward conditionals (ccov' V^+, `conditional_dist.cpp:4-67`) lose
+    # V's small eigenvalues to f32 cancellation and the gains blow up
+    # (|A| ~ 500 observed on TPU); the filter-quantity form is f32-stable
+    # by construction — and drops the old separate factor pass entirely.
     def make_bwd(slot, lo, hi):
-        def bwd(it, carry):
-            ah_n, V_n = carry           # smoothed mean/cov of state t+1
+        def bwd(it, ah_n):
             t = hi - 1 - it
             v = v_s[t]
             F = f_s[t]
@@ -1344,111 +1343,62 @@ def _rts_kernel(n: int, m: int, subs: int,
                 for j in range(m):
                     s = s + J[i][j] * dv[j]
                 ah.append(s)
+            lt = t - lo
             for i in range(m):
-                ahat_buf[slot, (t - lo) * m + i] = ah[i]
-            # V_t = Ptt + J (V_{t+1} - P_{t+1|t}) J', symmetrised
-            W = [V_n[ij] - Pn1[ij] for ij in range(mm)]
-            JW = [[None] * m for _ in range(m)]
+                ahat_buf[slot, lt * m + i] = ah[i]
+            # Sig_t = Ptt - J P_{t+1|t} J', symmetrised; Lb = factor(Sig)
+            JP = [[None] * m for _ in range(m)]
             for i in range(m):
                 for j in range(m):
-                    s = J[i][0] * W[j]
+                    s = J[i][0] * Pn1[j]
                     for l in range(1, m):
-                        s = s + J[i][l] * W[l * m + j]
-                    JW[i][j] = s
-            V = [None] * mm
+                        s = s + J[i][l] * Pn1[l * m + j]
+                    JP[i][j] = s
+            Sig = [None] * mm
             for i in range(m):
                 for j in range(m):
                     s = Ptt[i * m + j]
                     for l in range(m):
-                        s = s + JW[i][l] * J[j][l]
-                    V[i * m + j] = s
-            V = [0.5 * (V[i * m + j] + V[j * m + i])
-                 for i in range(m) for j in range(m)]
+                        s = s - JP[i][l] * J[j][l]
+                    Sig[i * m + j] = s
+            Sig = [0.5 * (Sig[i * m + j] + Sig[j * m + i])
+                   for i in range(m) for j in range(m)]
+            L = _lane_factor(m, Sig)
             for ij in range(mm):
-                vt_s[t * mm + ij] = V[ij]
-            # ccov_t = Cov(alpha_t, alpha_{t+1} | y) = J V_{t+1}
+                lcac_buf[slot, lt * F2 + ij] = L[ij]
             for i in range(m):
                 for j in range(m):
-                    s = J[i][0] * V_n[j]
-                    for l in range(1, m):
-                        s = s + J[i][l] * V_n[l * m + j]
-                    cc_s[t * mm + i * m + j] = s
-            return ah, V
+                    lcac_buf[slot, lt * F2 + mm + i * m + j] = J[i][j]
+            return ah
         return bwd
 
-    carry = ([a_n[i] for i in range(m)], [P_n[ij] for ij in range(mm)])
+    carry = [a_n[i] for i in range(m)]
     for cb in range(nchb - 1, -1, -1):
         slot = cb % 2
         if cb + 2 < nchb:                       # buffer reuse: wait out-DMA
             ahat_dma(slot, cb + 2).wait()
+            lcac_dma(slot, cb + 2).wait()
         lo = cb * ch
         hi = min((cb + 1) * ch, n + 1)
-        if hi == n + 1:                          # the t = n entry
+        if hi == n + 1:                          # the t = n entry:
+            # alpha_n ~ N(a_n, P_n) (smoothed marginal; no obs at n)
             for i in range(m):
                 ahat_buf[slot, (n - lo) * m + i] = a_n[i]
+            Ln = _lane_factor(m, [P_n[ij] for ij in range(mm)])
+            for ij in range(mm):
+                lcac_buf[slot, (n - lo) * F2 + ij] = Ln[ij]
+                lcac_buf[slot, (n - lo) * F2 + mm + ij] = zero
             hi = n
         if lo < hi:
             carry = jax.lax.fori_loop(0, hi - lo, make_bwd(slot, lo, hi),
                                       carry)
         ahat_dma(slot, cb).start()
+        lcac_dma(slot, cb).start()
 
-    # ---- conditional factors, lcac streamed out in forward chunks ----
-    # A_t = ccov_{t-1}' pinv(V_{t-1}), Vc = V_t - A ccov_{t-1},
-    # Lc = factor(Vc);  t = 0: A = 0, Lc = factor(V_0)
-    def make_cf(slot, base, lo):
-        def cf(it, _):
-            t = lo + it
-            Vp = [vt_s[(t - 1) * mm + ij] for ij in range(mm)]
-            Cp = [cc_s[(t - 1) * mm + ij] for ij in range(mm)]
-            V = [vt_s[t * mm + ij] for ij in range(mm)]
-            Pinv = _lane_pinv(m, Vp, eps)
-            A = [zero] * mm
-            for i in range(m):
-                for j in range(m):
-                    s = zero
-                    for l in range(m):
-                        s = s + Cp[l * m + i] * Pinv[l * m + j]
-                    A[i * m + j] = s
-            Vc = [zero] * mm
-            for i in range(m):
-                for j in range(m):
-                    s = V[i * m + j]
-                    for l in range(m):
-                        s = s - A[i * m + l] * Cp[l * m + j]
-                    Vc[i * m + j] = s
-            Lc = _lane_factor(m, Vc)
-            lt = t - base                     # chunk-local buffer row
-            for ij in range(mm):
-                lcac_buf[slot, lt * F2 + ij] = Lc[ij]
-                lcac_buf[slot, lt * F2 + mm + ij] = A[ij]
-            return 0
-        return cf
-
-    for c in range(nchb):
-        slot = c % 2
-        if c - 2 >= 0:                          # buffer reuse: wait out-DMA
-            lcac_dma(slot, c - 2).wait()
-        lo = c * ch
-        hi = min((c + 1) * ch, n + 1)
-        if c == 0:
-            V0 = [vt_s[ij] for ij in range(mm)]
-            Lc0 = _lane_factor(m, V0)
-            for ij in range(mm):
-                lcac_buf[slot, ij] = Lc0[ij]
-                lcac_buf[slot, mm + ij] = zero
-            lo = 1
-        if lo < hi:
-            jax.lax.fori_loop(0, hi - lo, make_cf(slot, c * ch, lo), 0)
-        lcac_dma(slot, c).start()
-
-    # all out-DMAs must land before the kernel retires: the last two ahat
-    # chunks started are 1, 0 (reverse order); the last two lcac chunks are
-    # nchb-2, nchb-1
+    # the last two chunks started are 1, 0 (reverse order)
     for c in (1, 0):
         if c < nchb:
             ahat_dma(c % 2, c).wait()
-    for c in (nchb - 2, nchb - 1):
-        if c >= 0:
             lcac_dma(c % 2, c).wait()
 
 
@@ -1495,8 +1445,6 @@ def _fused_rts_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, subs=1,
         scratch_t(n), scratch_t(n), scratch_t(n),        # v, F, ok
         scratch_t((n + 1) * m),                          # at
         scratch_t((n + 1) * mm),                         # Pt
-        scratch_t((n + 1) * mm),                         # Vt
-        scratch_t((n + 1) * mm),                         # ccov
         chunk_buf(3), chunk_buf(m), chunk_buf(2 * mm),
         pltpu.SemaphoreType.DMA((2, 3)),
     ]
@@ -1516,9 +1464,9 @@ def _fused_rts_call(y, h2, d, z, t, rr, a1, p1, c, *, n, m, subs=1,
     return ahat, Lc, Ac
 
 
-def fused_smoother_factors_batched(spec, axis_size, interpret=False):
-    """Batched (alphahat, Lcond, Acond) via the fused RTS kernel, or None
-    if the spec is outside the kernel contract."""
+def fused_smoother_bwd_factors_batched(spec, axis_size, interpret=False):
+    """Batched (alphahat, Lb, Ab) — the BACKWARD (FFBS) proposal factors —
+    via the fused RTS kernel, or None if outside the kernel contract."""
     n = spec.y.shape[-1]
     m = spec.a1.shape[-1]
     if not _supported_rts(n, m):
@@ -1611,7 +1559,13 @@ def _psi_kernel(n: int, m: int, N: int, dist: int, subs: int, nch: int,
     double-buffered VMEM chunk buffers (_PSI_CHUNK steps per async DMA),
     with chunk c+1's copies in flight behind chunk c's compute.
 
-    HBM step-row layouts (step s == time t):
+    The proposal is the BACKWARD factorization of the smoothing law, so
+    the dispatcher feeds TIME-REVERSED rows (step s generates state
+    t = n - s; row 0 is the obs-free alpha_n draw).  The kernel itself is
+    direction-agnostic: init from row 0, then resample/propagate/weight
+    per row.
+
+    HBM step-row layouts (step s == generation step):
       obs row s*6 + k:      [ytilde, Htilde, y, u, scales, D][k]
       fac row s*F + j:      [ahat (m), Lcond (mm), Acond (mm)], F = m+2mm
       eps row s*N*m + p*m + i, us row s*N + p (shifted: consumed AT s)
@@ -1763,10 +1717,10 @@ def _psi_kernel(n: int, m: int, N: int, dist: int, subs: int, nch: int,
             return alpha_new, nw_new, ll + inc, ah_t
         return step
 
-    # the scan reference runs one extra phantom step at t=n against padded
-    # NaN observations (contributing exactly 0); the kernel stops at n-1 —
-    # same statistic, no out-of-bounds row reads.  Chunks are unrolled in
-    # Python (static slots/bounds).
+    # backward generation: step 0 drew alpha_n (obs row 0 is a NaN pad, so
+    # weight_cols contributed exactly 0); steps 1..n generate alpha_{n-1}
+    # down to alpha_0 against the time-reversed rows.  Chunks are unrolled
+    # in Python (static slots/bounds).
     carry = (alpha, nw, ll, ah0)
     for c in range(nch):
         slot = c % 2
@@ -1775,7 +1729,7 @@ def _psi_kernel(n: int, m: int, N: int, dist: int, subs: int, nch: int,
                 start_chunk((c + 1) % 2, c + 1)
             wait_chunk(slot, c)
         t_lo = 1 if c == 0 else c * ch
-        t_hi = min((c + 1) * ch, n)
+        t_hi = min((c + 1) * ch, n + 1)
         if t_lo < t_hi:
             carry = jax.lax.fori_loop(t_lo, t_hi, make_step(slot, c * ch),
                                       carry)
@@ -1792,7 +1746,7 @@ def _fused_psi_call(yt, ht, y, u, sc, d, z, phi, ahat, lc, ac, eps, us, *,
     mm = m * m
     Nm = N * m
     ch = _PSI_CHUNK
-    nch = -(-n // ch)
+    nch = -(-(n + 1) // ch)
     lanes_last, spec, out_sd, unpack, scratch_t = _tiles(Cn, subs, dt)
 
     # time-pad/trim the randomness to nch*ch step rows: eps row s holds the
@@ -1809,10 +1763,19 @@ def _fused_psi_call(yt, ht, y, u, sc, d, z, phi, ahat, lc, ac, eps, us, *,
         return x.reshape(Cn, nch * ch * per_step)
 
     F = m + 2 * mm
+    # backward generation: step s holds the data of state t = n - s.
+    # Step 0 (alpha_n) has no observation: a NaN/neutral pad row.
     obs = jnp.stack([yt, ht, y, u, sc, d], axis=2)          # (Cn, n, 6)
+    nanv = jnp.full((Cn, 1), jnp.nan, dt)
+    onev = jnp.ones((Cn, 1), dt)
+    zerov = jnp.zeros((Cn, 1), dt)
+    pad0 = jnp.stack([nanv, onev, nanv, onev, zerov, zerov],
+                     axis=2)                                # (Cn, 1, 6)
+    obs = jnp.concatenate([pad0, jnp.flip(obs, axis=1)], axis=1)
     fac = jnp.concatenate([ahat, lc.reshape(Cn, n + 1, mm),
                            ac.reshape(Cn, n + 1, mm)], axis=2)
-    obs_p = pad_steps(obs.reshape(Cn, n * 6), 6)
+    fac = jnp.flip(fac, axis=1)
+    obs_p = pad_steps(obs.reshape(Cn, (n + 1) * 6), 6)
     fac_p = pad_steps(fac.reshape(Cn, (n + 1) * F), F)
     eps_p = pad_steps(eps.reshape(Cn, (n + 1) * Nm), Nm)
     us_sh = jnp.concatenate(
@@ -1858,7 +1821,8 @@ def fused_psi_logw_batched(spec, al, eps, us, axis_size, interpret=False):
     if spec.distribution not in (_SVM, _POISSON, _BINOMIAL, _NEGBIN, _GAMMA):
         return None
     g = spec.approx_gaussian(al.approx.ytilde, al.approx.Htilde)
-    fac = fused_smoother_factors_batched(g, axis_size, interpret=interpret)
+    fac = fused_smoother_bwd_factors_batched(g, axis_size,
+                                             interpret=interpret)
     if fac is None:
         return None
     ahat, Lc, Ac = fac
@@ -1925,37 +1889,28 @@ def _psi_logw_vmap(axis_size, in_batched, spec, al, eps, us):
 
 
 @jax.custom_batching.custom_vmap
-def smoother_factors_auto(spec):
-    """(alphahat, Lcond, Acond) for the psi-APF proposal; batched calls
-    route through the fused RTS kernel when supported."""
+def smoother_bwd_factors_auto(spec):
+    """(alphahat, Lb, Ab) — the backward factorization of the smoothing
+    law, the psi-APF proposal factors (`ops.kalman.smoother_bwd_factors`);
+    batched calls route through the fused RTS kernel when supported."""
     from . import kalman
-    from .chol import conditional_cov_factors
-    sm = kalman.smoother(spec)
-    Lc, Ac = conditional_cov_factors(sm.Vt, sm.ccov)
-    return sm.alphahat, Lc, Ac
+    return kalman.smoother_bwd_factors(spec)
 
 
-@smoother_factors_auto.def_vmap
-def _smoother_factors_vmap(axis_size, in_batched, spec):
+@smoother_bwd_factors_auto.def_vmap
+def _smoother_bwd_factors_vmap(axis_size, in_batched, spec):
     from ..core import config as _config
     from . import kalman
-    from .chol import conditional_cov_factors
     (spec_batched,) = in_batched
     if _config.use_fused():
-        out = fused_smoother_factors_batched(spec, axis_size,
-                                             interpret=_interpret_mode())
+        out = fused_smoother_bwd_factors_batched(spec, axis_size,
+                                                 interpret=_interpret_mode())
         if out is not None:
             return out, (True, True, True)
         _fallback_notice("rts-factors", n=spec.y.shape[-1],
                          m=spec.a1.shape[-1])
     axes = jax.tree_util.tree_map(lambda b: 0 if b else None, spec_batched)
-
-    def base(s):
-        sm = kalman.smoother(s)
-        Lc, Ac = conditional_cov_factors(sm.Vt, sm.ccov)
-        return sm.alphahat, Lc, Ac
-
-    out = jax.vmap(base, in_axes=(axes,))(spec)
+    out = jax.vmap(kalman.smoother_bwd_factors, in_axes=(axes,))(spec)
     return out, (True, True, True)
 
 

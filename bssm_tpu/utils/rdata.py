@@ -171,6 +171,26 @@ def _decompress(raw: bytes) -> bytes:
     return raw
 
 
+def load_rds(path: str) -> Any:
+    """Load the single object stored in an .rds file (`saveRDS`) — e.g. a
+    serialized `KFAS::SSModel` for `as_bssm`
+    (`/root/reference/R/as_bssm.R:26-154`).  Same XDR grammar as .rda
+    without the top-level named pairlist."""
+    with open(path, "rb") as f:
+        data = _decompress(f.read())
+    r = _Reader(data)
+    fmt = r.raw(2)
+    if fmt[:1] != b"X":
+        raise ValueError("only XDR format supported")
+    ver = r.i32()      # serialization format version (2 or 3)
+    r.i32()            # writer R version
+    r.i32()            # min reader R version
+    if ver >= 3:       # version 3 carries a native-encoding string
+        n = r.i32()
+        r.raw(n)
+    return r.item()
+
+
 def load_rda(path: str) -> Dict[str, Any]:
     """Load all objects from an .rda file into a dict."""
     with open(path, "rb") as f:

@@ -256,29 +256,24 @@ def test_sublane_packed_blocks_match_scan(rng):
 
 
 def test_rts_factors_match_smoother_oracle(rng):
-    """The streamed-io RTS kernel's (ahat, Lcond, Acond) must match the
-    scan smoother + conditional_cov_factors oracle DIRECTLY (the psi
-    parity test feeds both paths from the same factors, so it cannot see
-    factor bugs — this one compares against the fused-off oracle)."""
+    """The streamed-io RTS kernel's (ahat, Lb, Ab) backward factors must
+    match the scan smoother_bwd_factors oracle DIRECTLY (the psi parity
+    test feeds both paths from the same factors, so it cannot see factor
+    bugs — this one compares against the fused-off oracle)."""
     from bssm_tpu.ops import kalman
-    from bssm_tpu.ops.chol import conditional_cov_factors
-    from bssm_tpu.ops.pallas_kalman import fused_smoother_factors_batched
+    from bssm_tpu.ops.pallas_kalman import fused_smoother_bwd_factors_batched
     n, B = 37, 4
     old = config.fused_kernels
     try:
         config.set_fused_kernels(True)
         specs, als = _ng_batch(rng, n, B)
         g = specs.approx_gaussian(als.approx.ytilde, als.approx.Htilde)
-        ahat, Lc, Ac = fused_smoother_factors_batched(g, B, interpret=True)
+        ahat, Lc, Ac = fused_smoother_bwd_factors_batched(g, B,
+                                                          interpret=True)
     finally:
         config.set_fused_kernels(old)
 
-    def base(s):
-        sm = kalman.smoother(s)
-        L, A = conditional_cov_factors(sm.Vt, sm.ccov)
-        return sm.alphahat, L, A
-
-    ra, rl, rc = jax.vmap(base)(g)
+    ra, rl, rc = jax.vmap(kalman.smoother_bwd_factors)(g)
     np.testing.assert_allclose(np.asarray(ahat), np.asarray(ra),
                                rtol=1e-4, atol=1e-4)
     # the factor itself is unique only up to the clipped-pinv tie-breaks at
@@ -345,26 +340,20 @@ def test_f32_is_weights_stable_at_degenerate_theta(rng):
 def test_rts_factors_m34_match_oracle(rng, m):
     """m in {3, 4} routes the RTS/factor kernel through the in-kernel
     cyclic-Jacobi eigensystem; compare the order-invariant quantities
-    (alphahat, L L', A) against the scan + jnp.linalg.eigh oracle."""
-    from bssm_tpu.ops.chol import conditional_cov_factors
-    from bssm_tpu.ops.pallas_kalman import fused_smoother_factors_batched
+    (alphahat, L L', J) against the scan + jnp.linalg.eigh oracle."""
+    from bssm_tpu.ops.pallas_kalman import fused_smoother_bwd_factors_batched
     n, B = 29, 3
     spec = _batched_spec(rng, n, m, B, missing=True)
     old = config.fused_kernels
     try:
         config.set_fused_kernels(True)
-        out = fused_smoother_factors_batched(spec, B, interpret=True)
+        out = fused_smoother_bwd_factors_batched(spec, B, interpret=True)
     finally:
         config.set_fused_kernels(old)
     assert out is not None
     ahat, Lc, Ac = out
 
-    def base(s):
-        sm = kalman.smoother(s)
-        L, A = conditional_cov_factors(sm.Vt, sm.ccov)
-        return sm.alphahat, L, A
-
-    ra, rl, rc = jax.vmap(base)(spec)
+    ra, rl, rc = jax.vmap(kalman.smoother_bwd_factors)(spec)
     np.testing.assert_allclose(np.asarray(ahat), np.asarray(ra),
                                rtol=1e-3, atol=1e-3)
     LL = np.einsum('btij,btkj->btik', np.asarray(Lc), np.asarray(Lc))
