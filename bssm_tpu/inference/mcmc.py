@@ -759,70 +759,78 @@ def _make_correct_one(model: Model, nsim, sampling_method,
     return correct_one
 
 
-def _is_correction_flat(model: Model, thetas, modes, key, nsim,
+def _is_correction_flat(model: Model, thetas, modes, keys, nsim,
                         sampling_method, batch_size, mesh=None,
-                        want_states=True, want_moments=True):
+                        want_states=True, want_moments=True,
+                        jit_cache=None):
     """IS correction over a flat axis of stored draws — the reference's
-    OpenMP loop (`approx_mcmc.cpp:364-368`) as chunked, mesh-sharded vmaps.
+    OpenMP loop (`approx_mcmc.cpp:364-368`) as HOST-chunked, mesh-sharded
+    vmaps.
 
-    thetas: (S, d); modes: (S, n).  Returns (log_w, alpha, mean, Vt) with
-    leading axis S.  With a mesh, each chunk's batch axis is sharded over the
-    full device mesh (chains x draws), so S/devices corrections run per chip.
-    """
+    thetas: (S, d); modes: (S, n); keys: (S, 2).  Returns a dict of arrays
+    with leading axis S.  Each chunk is a SEPARATE jit execution (compiled
+    once, cached): a single device program spanning the whole correction
+    (the round-3 design's `lax.map`) can run for minutes at large N x S,
+    which the axon TPU tunnel kills with an RPC deadline — and bounded
+    executions keep the run interruptible.  With a mesh, each chunk's
+    batch axis is sharded over the full device mesh (chains x draws)."""
     correct_one = _make_correct_one(model, nsim, sampling_method,
                                     want_states=want_states,
                                     want_moments=want_moments)
     Ns = thetas.shape[0]
-    keys = jax.random.split(key, Ns)
+    jit_cache = {} if jit_cache is None else jit_cache
 
     if mesh is None:
-        bs = min(Ns, batch_size)
-        out = jax.lax.map(correct_one, (thetas, modes, keys),
-                          batch_size=bs)
-        return out
+        B = min(Ns, batch_size)
+        ckey = ("corr-chunk", nsim, sampling_method, want_states,
+                want_moments, B)
+        chunk_fn = jit_cache.get(ckey)
+        if chunk_fn is None:
+            chunk_fn = jax.jit(jax.vmap(lambda t, m, k: correct_one(
+                (t, m, k))))
+            jit_cache[ckey] = chunk_fn
+    else:
+        from jax.sharding import PartitionSpec as _P
+        n_dev = mesh.devices.size
+        B = max(min(Ns, batch_size) // n_dev, 1) * n_dev
+        flat_axes = _P(mesh.axis_names)
+        ckey = ("corr-chunk-mesh", nsim, sampling_method, want_states,
+                want_moments, B, id(mesh))
+        chunk_fn = jit_cache.get(ckey)
+        if chunk_fn is None:
+            # shard_map (not sharding constraints): each device runs the
+            # vmapped correction — including the fused Pallas kernels,
+            # which XLA's SPMD partitioner cannot split as opaque calls —
+            # on its local B/n_dev rows; draws are independent, so no
+            # cross-device communication is needed.
+            chunk_fn = jax.jit(jax.shard_map(
+                jax.vmap(lambda t, m, k: correct_one((t, m, k))),
+                mesh=mesh, in_specs=(flat_axes, flat_axes, flat_axes),
+                out_specs=flat_axes, check_vma=False))
+            jit_cache[ckey] = chunk_fn
 
-    from jax.sharding import PartitionSpec as _P
-    n_dev = mesh.devices.size
-    B = max(batch_size // n_dev, 1) * n_dev
     pad = (-Ns) % B
     if pad:
         thetas = jnp.concatenate([thetas, thetas[:pad]])
         modes = jnp.concatenate([modes, modes[:pad]])
         keys = jnp.concatenate([keys, keys[:pad]])
-    nch = thetas.shape[0] // B
-    flat_axes = _P(mesh.axis_names)
-
-    # shard_map (not sharding constraints): each device runs the vmapped
-    # correction — including the fused Pallas kernels, which XLA's SPMD
-    # partitioner cannot split as opaque calls — on its local B/n_dev rows;
-    # no cross-device communication is needed (draws are independent).
-    local = jax.shard_map(
-        jax.vmap(lambda t, m, k: correct_one((t, m, k))),
-        mesh=mesh, in_specs=(flat_axes, flat_axes, flat_axes),
-        out_specs=flat_axes, check_vma=False)
-
-    def chunk(_, xs):
-        th, mo, ke = xs
-        return None, local(th, mo, ke)
-
-    def resh(a):
-        return a.reshape((nch, B) + a.shape[1:])
-
-    _, out = jax.lax.scan(chunk, None,
-                          (resh(thetas), resh(modes), resh(keys)))
+    parts = []
+    for lo in range(0, thetas.shape[0], B):
+        parts.append(chunk_fn(thetas[lo:lo + B], modes[lo:lo + B],
+                              keys[lo:lo + B]))
     out = jax.tree_util.tree_map(
-        lambda a: a.reshape((nch * B,) + a.shape[2:])[:Ns], out)
+        lambda *xs: jnp.concatenate(xs)[:Ns], *parts)
     return out
 
 
 def _is_postprocess(model: Model, thetas, modes, accepted, approx_ll, key, *,
                     is_type, nsim, sampling_method, batch_size, bucket,
-                    mesh, want_states, want_moments, n1m):
-    """Device-side IS post-correction: head selection, correction, jump-chain
-    fill, and weight assembly run inside ONE jit program — no host
-    round-trips (the round-2 design gathered heads via host `np.nonzero` and
-    forward-filled in numpy, costing ~22% of bench wall time and scaling
-    superlinearly in corrected rows).
+                    mesh, want_states, want_moments, n1m, jit_cache=None):
+    """Host-orchestrated IS post-correction: jitted head selection,
+    HOST-chunked corrections (each chunk a bounded jit execution — one
+    device program spanning the whole correction can run for minutes at
+    large N x S, which the axon TPU tunnel kills with an RPC deadline),
+    and a jitted assembly pass.  All data stays on device between pieces.
 
     is2: correct each jump-chain head once with ``nsim`` particles;
          duplicate slots share the head's result
@@ -842,25 +850,58 @@ def _is_postprocess(model: Model, thetas, modes, accepted, approx_ll, key, *,
     """
     C, Sn = thetas.shape[:2]
     CS = C * Sn
-    flat = lambda a: a.reshape((CS,) + a.shape[2:])        # noqa: E731
-    th_flat, mo_flat = flat(thetas), flat(modes)
-    hmask = accepted.astype(bool).at[:, 0].set(True).reshape(-1)
+    jit_cache = {} if jit_cache is None else jit_cache
 
     if is_type == 2:
-        hidx = jnp.nonzero(hmask, size=bucket, fill_value=0)[0]
-        corr = _is_correction_flat(
-            model, jnp.take(th_flat, hidx, axis=0),
-            jnp.take(mo_flat, hidx, axis=0), key, nsim, sampling_method,
-            batch_size=batch_size, mesh=mesh,
-            want_states=want_states, want_moments=want_moments)
+        pkey = ("corr-prep", bucket, CS)
+        prep = jit_cache.get(pkey)
+        if prep is None:
+            def _prep(th, mo, acc):
+                fl = lambda a: a.reshape((CS,) + a.shape[2:])  # noqa: E731
+                hm = acc.astype(bool).at[:, 0].set(True).reshape(-1)
+                hidx = jnp.nonzero(hm, size=bucket, fill_value=0)[0]
+                return (jnp.take(fl(th), hidx, axis=0),
+                        jnp.take(fl(mo), hidx, axis=0), hm)
+            prep = jax.jit(_prep)
+            jit_cache[pkey] = prep
+        th_rows, mo_rows, hmask = prep(thetas, modes, accepted)
+        Ns = bucket
+    else:
+        fl = lambda a: a.reshape((CS,) + a.shape[2:])          # noqa: E731
+        th_rows, mo_rows = fl(thetas), fl(modes)
+        hmask = accepted.astype(bool).at[:, 0].set(True).reshape(-1)
+        Ns = CS
+
+    keys = jax.random.split(key, Ns)
+    corr = _is_correction_flat(model, th_rows, mo_rows, keys, nsim,
+                               sampling_method, batch_size, mesh=mesh,
+                               want_states=want_states,
+                               want_moments=want_moments,
+                               jit_cache=jit_cache)
+
+    fkey = ("corr-finish", is_type, sampling_method, want_states,
+            want_moments, bucket, n1m, CS)
+    finish = jit_cache.get(fkey)
+    if finish is None:
+        finish = jax.jit(lambda co, hm, al, k: _is_finish(
+            co, hm, al, k, is_type=is_type,
+            sampling_method=sampling_method, want_states=want_states,
+            want_moments=want_moments, n1m=n1m))
+        jit_cache[fkey] = finish
+    return finish(corr, hmask, approx_ll, key)
+
+
+def _is_finish(corr, hmask, approx_ll, key, *, is_type, sampling_method,
+               want_states, want_moments, n1m):
+    """Assembly pass: jump-chain fill, weight/moment reduction."""
+    C, Sn = approx_ll.shape
+    CS = C * Sn
+    flat = lambda a: a.reshape((CS,) + a.shape[2:])            # noqa: E731
+
+    if is_type == 2:
         src = jnp.cumsum(hmask) - 1                 # head ordinal per slot
         corr = jax.tree_util.tree_map(
             lambda a: jnp.take(a, src, axis=0), corr)
-    else:
-        corr = _is_correction_flat(
-            model, th_flat, mo_flat, key, nsim, sampling_method,
-            batch_size=batch_size, mesh=mesh,
-            want_states=want_states, want_moments=want_moments)
 
     log_w = corr["log_w"]
     if sampling_method == "bsf":
@@ -1299,21 +1340,12 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
             bucket = 0
         spec0 = model.build(model.theta_init)
         n1m = (spec0.n + 1, spec0.m)
-        post_key = ("post", is_type, particles, sampling_method,
-                    corr_batch, bucket, want_states, want_moments,
-                    None if mesh is None else id(mesh))
-        post_fn = jit_cache.get(post_key)
-        if post_fn is None:
-            post_fn = jax.jit(
-                lambda th, mo, acc, all_, k: _is_postprocess(
-                    model, th, mo, acc, all_, k, is_type=is_type,
-                    nsim=particles, sampling_method=sampling_method,
-                    batch_size=corr_batch or 256, bucket=bucket, mesh=mesh,
-                    want_states=want_states, want_moments=want_moments,
-                    n1m=n1m))
-            jit_cache[post_key] = post_fn
-        post = post_fn(res["theta"], res["modes"], res["accepted"],
-                       res["approx_ll"], is_key)
+        post = _is_postprocess(
+            model, res["theta"], res["modes"], res["accepted"],
+            res["approx_ll"], is_key, is_type=is_type, nsim=particles,
+            sampling_method=sampling_method, batch_size=corr_batch or 256,
+            bucket=bucket, mesh=mesh, want_states=want_states,
+            want_moments=want_moments, n1m=n1m, jit_cache=jit_cache)
         post = jax.tree_util.tree_map(
             lambda a: a.block_until_ready(), post)
         log_w = post["log_w"]

@@ -63,23 +63,15 @@ def post_correct(model: Model, output: McmcOutput, particles: int,
     spec0 = model.build(model.theta_init)
     n1m = (spec0.n + 1, spec0.m)
 
-    # same cache key scheme as run_mcmc: a matching post_correct call reuses
-    # the already-compiled correction program
+    # same cache scheme as run_mcmc: a matching post_correct call reuses
+    # the already-compiled per-piece correction programs
     jit_cache = model.extra.setdefault("_jit_cache", {})
-    post_key = ("post", is_type, particles, sampling_method, corr_batch,
-                bucket, want_states, want_moments,
-                None if mesh is None else id(mesh))
-    post_fn = jit_cache.get(post_key)
-    if post_fn is None:
-        post_fn = jax.jit(
-            lambda t, m, a, al, k: _is_postprocess(
-                model, t, m, a, al, k, is_type=is_type, nsim=particles,
-                sampling_method=sampling_method,
-                batch_size=corr_batch or 256, bucket=bucket, mesh=mesh,
-                want_states=want_states, want_moments=want_moments,
-                n1m=n1m))
-        jit_cache[post_key] = post_fn
-    post = post_fn(th, modes, accepted, approx_ll, key)
+    post = _is_postprocess(
+        model, th, modes, accepted, approx_ll, key, is_type=is_type,
+        nsim=particles, sampling_method=sampling_method,
+        batch_size=corr_batch or 256, bucket=bucket, mesh=mesh,
+        want_states=want_states, want_moments=want_moments, n1m=n1m,
+        jit_cache=jit_cache)
     post = jax.tree_util.tree_map(lambda a: a.block_until_ready(), post)
 
     out = copy.copy(output)
