@@ -1307,17 +1307,30 @@ def _rts_kernel(n: int, m: int, subs: int,
             okf = ok_s[t]
             P = [pt_s[t * mm + ij] for ij in range(mm)]
             Pn1 = [pt_s[(t + 1) * mm + ij] for ij in range(mm)]
-            # filtered moments from staged predicted stats:
-            # att = a + ok (PZ) v/F ; Ptt = P - ok (PZ)(PZ)'/F
+            # filtered moments from staged predicted stats, JOSEPH form:
+            # the short form P - (PZ)(PZ)'/F cancels diffuse-P1-scale
+            # quantities at strongly-informative steps (t = 0 with
+            # P1 = 100 I loses Ptt to f32 roundoff, inflating the t = 0
+            # backward conditional variance ~20x); Joseph
+            # (I-KZ)P(I-KZ)' + h2 KK' keeps the error relative.
             PZ = []
             for i in range(m):
                 s = P[i * m] * Z[0]
                 for j in range(1, m):
                     s = s + P[i * m + j] * Z[j]
                 PZ.append(s)
-            okF = okf / F
-            att = [at_s[t * m + i] + PZ[i] * (okF * v) for i in range(m)]
-            Ptt = [P[i * m + j] - PZ[i] * PZ[j] * okF
+            ZPZ = PZ[0] * Z[0]
+            for i in range(1, m):
+                ZPZ = ZPZ + PZ[i] * Z[i]
+            h2 = F - ZPZ                    # exact when ok; unused masked
+            K = [okf * PZ[i] / F for i in range(m)]
+            att = [at_s[t * m + i] + K[i] * v for i in range(m)]
+            BP = [P[i * m + j] - K[i] * PZ[j]
+                  for i in range(m) for j in range(m)]
+            BPZ = [PZ[i] - K[i] * ZPZ for i in range(m)]
+            Ptt = [BP[i * m + j] - BPZ[i] * K[j] + h2 * K[i] * K[j]
+                   for i in range(m) for j in range(m)]
+            Ptt = [0.5 * (Ptt[i * m + j] + Ptt[j * m + i])
                    for i in range(m) for j in range(m)]
             # J = Ptt T' pinv(P_{t+1|t})
             Pinv = _lane_pinv(m, Pn1, eps)
