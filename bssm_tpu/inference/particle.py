@@ -255,17 +255,74 @@ def bsf_filter_lg(spec: LGSpec, nsim: int, key) -> PFResult:
 
 def psi_logw(spec: NGSpec, al: ApproxLoglik, nsim: int, key) -> jnp.ndarray:
     """The psi-APF log-likelihood estimate ONLY (no trajectories) — the IS
-    post-correction's inner quantity when states aren't requested.  All
-    randomness is pre-generated (one threefry sweep) so that under `vmap`
-    the whole batch can route through the fused Pallas kernel
-    (`ops/pallas_kalman.psi_logw_auto`) consuming identical inputs."""
-    from ..ops.pallas_kalman import psi_logw_auto
+    post-correction's inner quantity when states aren't requested.
+
+    For kernel-eligible particle counts the randomness is pre-generated
+    (one threefry sweep) so that under `vmap` the whole batch can route
+    through the fused Pallas kernel (`ops/pallas_kalman.psi_logw_auto`)
+    consuming identical inputs.  Beyond the kernel's N cap the
+    pre-generated tensor is pure overhead — (n+1, N, m) normals
+    materialized per draw is ~650 MB of HBM traffic per 2048-draw chunk at
+    N = 256 — so the large-N path generates its randomness per scan step
+    (same stream as `psi_filter`)."""
+    from ..ops.pallas_kalman import _MAX_N_PSI, psi_logw_auto
     n, m = spec.n, spec.m
     dt = spec.y.dtype
+    if nsim > _MAX_N_PSI:
+        return al.loglik + _psi_logw_keyed(spec, al, nsim, key)
     k_e, k_r = jax.random.split(key)
     eps = jax.random.normal(k_e, (n + 1, nsim, m), dt)
     us = jax.random.uniform(k_r, (n, nsim), dt)
     return al.loglik + psi_logw_auto(spec, al, eps, us)
+
+
+def _psi_logw_keyed(spec: NGSpec, al: ApproxLoglik, nsim: int, key
+                    ) -> jnp.ndarray:
+    """Large-N psi-APF log-weight with per-step RNG — exactly
+    ``psi_filter``'s stream minus trajectory storage, so
+    `_psi_logw_keyed(..., key) == psi_filter(..., key).loglik - al.loglik`
+    holds identically."""
+    n, m = spec.n, spec.m
+    dt = spec.y.dtype
+    g = al.approx.gaussian(spec)
+    from ..ops.pallas_kalman import smoother_bwd_factors_auto
+    ahat, Lb, Ab = smoother_bwd_factors_auto(g)
+    Zb = _bc(spec.Z, n)
+    Db = _bc(spec.D.astype(dt), n)
+    scl = al.scales
+
+    key, k0 = jax.random.split(key)
+    u0 = jax.random.normal(k0, (nsim, m), dt)
+    alpha0 = ahat[n] + u0 @ Lb[n].T
+    nw0 = jnp.ones((nsim,), dt) / nsim
+    ll0 = jnp.zeros((), dt)
+    keys = jax.random.split(key, n)
+    flip = lambda a: jnp.flip(a, axis=0)                   # noqa: E731
+
+    def step(carry, xs):
+        alpha_prev, nw, ll = carry
+        (kt, ah_t, ah_prev, A_t, L_t, y_t, u_t, yt_t, H_t, sc_t,
+         Z_t, D_t) = xs
+        kr, kp = jax.random.split(kt)
+        idx = stratified_indices(nw, kr)
+        anc = alpha_prev[idx]
+        um = jax.random.normal(kp, (nsim, m), dt)
+        alpha_t = ah_t + (anc - ah_prev) @ A_t.T + um @ L_t.T
+        ok = jnp.isfinite(y_t)
+        s = _signals(spec, alpha_t, Z_t, D_t)
+        lw = fam.log_weights(spec.distribution, y_t, u_t, spec.phi, s,
+                             yt_t, H_t) - sc_t
+        inc, nw_new = _lse_update(jnp.where(ok, lw, 0.0), nsim, dt)
+        ll = ll + jnp.where(ok, inc, 0.0)
+        nw_new = jnp.where(ok, nw_new, jnp.ones((nsim,), dt) / nsim)
+        return (alpha_t, nw_new, ll), None
+
+    xs = (keys, flip(ahat[:-1]), flip(ahat[1:]), flip(Ab[:-1]),
+          flip(Lb[:-1]), flip(spec.y), flip(spec.u),
+          flip(al.approx.ytilde), flip(al.approx.Htilde), flip(scl),
+          flip(Zb), flip(Db))
+    (_, _, ll), _ = jax.lax.scan(step, (alpha0, nw0, ll0), xs)
+    return ll
 
 
 def psi_logw_scan(spec: NGSpec, al: ApproxLoglik, eps: jnp.ndarray,

@@ -385,3 +385,20 @@ def test_psi_kernel_n32_matches_scan(rng):
                                    rtol=1e-4, atol=1e-4)
     finally:
         config.set_fused_kernels(old)
+
+
+def test_psi_logw_large_n_keyed_matches_psi_filter(rng):
+    """N > _MAX_N_PSI routes psi_logw through the per-step-RNG scan (no
+    pre-generated randomness tensor); its stream is exactly psi_filter's,
+    so the values must match identically."""
+    from bssm_tpu.inference import approx as amod
+    from bssm_tpu.inference import particle as pf
+    from bssm_tpu.ops.pallas_kalman import _MAX_N_PSI
+    specs, als = _ng_batch(rng, 23, 1)
+    spec = jax.tree_util.tree_map(lambda a: a[0], specs)
+    al = jax.tree_util.tree_map(lambda a: a[0], als)
+    N = _MAX_N_PSI + 16
+    key = jax.random.PRNGKey(9)
+    lw = float(pf.psi_logw(spec, al, N, key))
+    ref = float(pf.psi_filter(spec, al, N, key).loglik)
+    np.testing.assert_allclose(lw, ref, rtol=0, atol=5e-5)
