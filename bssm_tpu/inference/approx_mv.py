@@ -18,7 +18,8 @@ from ..core import distributions as fam
 from ..core.spec import MVLGSpec, MVNGSpec
 from ..ops import kalman_mv
 from ..ops.chol import conditional_cov_factors, psd_chol
-from ..ops.resample import stratified_indices
+from ..ops.resample import (stratified_indices,
+                            stratified_select)
 
 CONV_TOL = 1e-8
 MAX_ITER = 100
@@ -200,8 +201,7 @@ def psi_filter_mv(spec: MVNGSpec, al: MVApproxLoglik, nsim: int, key
         (kt, ah_t, ah_prev, A_t, L_t, y_t, u_t, yt_t, H_t, sc_t,
          Z_t, D_t) = xs
         kr, kp = jax.random.split(kt)
-        idx = stratified_indices(nw, kr)
-        anc = alpha_prev[idx]
+        anc, idx = stratified_select(nw, kr, alpha_prev)
         um = jax.random.normal(kp, (nsim, m), dt)
         alpha_t = ah_t + (anc - ah_prev) @ A_t.T + um @ L_t.T
         sig = D_t + alpha_t @ Z_t.T
@@ -254,8 +254,7 @@ def bsf_filter_mv(spec: MVNGSpec, nsim: int, key) -> MVPFResult:
         alpha_t, nw, ll, t = carry
         kt = xs
         kr, kp = jax.random.split(kt)
-        idx = stratified_indices(nw, kr)
-        anc = alpha_t[idx]
+        anc, idx = stratified_select(nw, kr, alpha_t)
         eta = jax.random.normal(kp, (nsim, k), dt)
         alpha_next = Cb[t] + anc @ Tb[t].T + eta @ Rb[t].T
         is_last = t + 1 >= n

@@ -21,7 +21,8 @@ from ..models.nlg import NLGSpec
 from ..ops import kalman_mv
 from ..ops.chol import conditional_cov_factors, psd_chol
 from ..ops.dmvnorm import dmvnorm
-from ..ops.resample import stratified_indices
+from ..ops.resample import (stratified_indices,
+                            stratified_select)
 
 LOG2PI = 1.8378770664093453
 
@@ -397,8 +398,7 @@ def psi_filter_nlg(spec: NLGSpec, ap: NLGApprox, nsim: int, key
         kt = xs
         t = n - 1 - s                       # state generated this step
         kr, kp = jax.random.split(kt)
-        idx = stratified_indices(nw, kr)
-        anc = alpha_prev[idx]
+        anc, idx = stratified_select(nw, kr, alpha_prev)
         um = jax.random.normal(kp, (nsim, m), dt)
         ah_t = ahat[t]
         alpha_t = ah_t + (anc - ahat[t + 1]) @ Ab[t].T + um @ Lb[t].T
@@ -446,8 +446,7 @@ def bsf_filter_nlg(spec: NLGSpec, nsim: int, key) -> NLGPFResult:
         alpha_t, nw, ll, t = carry
         kt = xs
         kr, kp = jax.random.split(kt)
-        idx = stratified_indices(nw, kr)
-        anc = alpha_t[idx]
+        anc, idx = stratified_select(nw, kr, alpha_t)
         eta = jax.random.normal(kp, (nsim, k), dt)
 
         def prop(a, e):
@@ -503,8 +502,7 @@ def ekpf_filter(spec: NLGSpec, nsim: int, key) -> NLGPFResult:
         alpha_t, nw, ll, t = carry
         kt = xs
         kr, kp = jax.random.split(kt)
-        idx = stratified_indices(nw, kr)
-        anc = alpha_t[idx]
+        anc, idx = stratified_select(nw, kr, alpha_t)
         is_last = t + 1 >= n
         tt = jnp.minimum(t + 1, n - 1)
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..core import distributions as fam
 from ..core.spec import LGSpec, NGSpec, SVM
 from ..ops.chol import psd_chol
-from ..ops.resample import stratified_indices
+from ..ops.resample import stratified_indices, stratified_select
 from .approx import ApproxLoglik
 
 
@@ -107,8 +107,7 @@ def psi_filter(spec: NGSpec, al: ApproxLoglik, nsim: int, key) -> PFResult:
         (kt, ah_t, ah_prev, A_t, L_t, y_t, u_t, yt_t, H_t, sc_t,
          Z_t, D_t) = xs
         kr, kp = jax.random.split(kt)
-        idx = stratified_indices(nw, kr)
-        anc = alpha_prev[idx]
+        anc, idx = stratified_select(nw, kr, alpha_prev)
         um = jax.random.normal(kp, (nsim, m), dt)
         alpha_t = ah_t + (anc - ah_prev) @ A_t.T + um @ L_t.T
         ok = jnp.isfinite(y_t)
@@ -176,8 +175,7 @@ def bsf_filter(spec: NGSpec, nsim: int, key) -> PFResult:
         alpha_t, nw, ll = carry
         kt, T_t, C_t, R_t, y_n, u_n, Z_n, D_n = xs
         kr, kp = jax.random.split(kt)
-        idx = stratified_indices(nw, kr)
-        anc = alpha_t[idx]
+        anc, idx = stratified_select(nw, kr, alpha_t)
         eta = jax.random.normal(kp, (nsim, R_t.shape[1]), dt)
         alpha_next = C_t + anc @ T_t.T + eta @ R_t.T
         ok = jnp.isfinite(y_n)
@@ -233,8 +231,7 @@ def bsf_filter_lg(spec: LGSpec, nsim: int, key) -> PFResult:
         alpha_t, nw, ll = carry
         kt, T_t, C_t, R_t, y_n, Z_n, D_n, HH_n = xs
         kr, kp = jax.random.split(kt)
-        idx = stratified_indices(nw, kr)
-        anc = alpha_t[idx]
+        anc, idx = stratified_select(nw, kr, alpha_t)
         eta = jax.random.normal(kp, (nsim, R_t.shape[1]), dt)
         alpha_next = C_t + anc @ T_t.T + eta @ R_t.T
         ok = jnp.isfinite(y_n)
@@ -299,13 +296,17 @@ def _psi_logw_keyed(spec: NGSpec, al: ApproxLoglik, nsim: int, key
     keys = jax.random.split(key, n)
     flip = lambda a: jnp.flip(a, axis=0)                   # noqa: E731
 
+    from ..ops.resample import stratified_gather
+
     def step(carry, xs):
         alpha_prev, nw, ll = carry
         (kt, ah_t, ah_prev, A_t, L_t, y_t, u_t, yt_t, H_t, sc_t,
          Z_t, D_t) = xs
         kr, kp = jax.random.split(kt)
-        idx = stratified_indices(nw, kr)
-        anc = alpha_prev[idx]
+        # one-hot matmul selection: same draw as
+        # alpha_prev[stratified_indices(nw, kr)] without the TPU-hostile
+        # per-particle gather (the scan-tier bottleneck at large N)
+        anc = stratified_gather(nw, kr, alpha_prev)
         um = jax.random.normal(kp, (nsim, m), dt)
         alpha_t = ah_t + (anc - ah_prev) @ A_t.T + um @ L_t.T
         ok = jnp.isfinite(y_t)
@@ -332,7 +333,7 @@ def psi_logw_scan(spec: NGSpec, al: ApproxLoglik, eps: jnp.ndarray,
     proposal) minus trajectory storage
     (`/root/reference/src/model_ssm_ung.cpp:511-609`)."""
     from ..ops.pallas_kalman import smoother_bwd_factors_auto
-    from ..ops.resample import stratified_indices_from_uniforms
+    from ..ops.resample import stratified_gather_from_uniforms
     n, m = spec.n, spec.m
     nsim = eps.shape[1]
     dt = spec.y.dtype
@@ -351,8 +352,7 @@ def psi_logw_scan(spec: NGSpec, al: ApproxLoglik, eps: jnp.ndarray,
         alpha_prev, nw, ll = carry          # ensemble of state t+1
         (r_t, e_t, ah_t, ah_prev, A_t, L_t, y_t, u_t, yt_t, H_t, sc_t,
          Z_t, D_t) = xs
-        idx = stratified_indices_from_uniforms(nw, r_t)
-        anc = alpha_prev[idx]
+        anc = stratified_gather_from_uniforms(nw, r_t, alpha_prev)
         alpha_t = ah_t + (anc - ah_prev) @ A_t.T + e_t @ L_t.T
         ok = jnp.isfinite(y_t)
         s = _signals(spec, alpha_t, Z_t, D_t)

@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.sde import SDESpec, milstein
-from ..ops.resample import stratified_indices
+from ..ops.resample import (stratified_indices,
+                            stratified_select)
 
 
 class SDEPFResult(NamedTuple):
@@ -74,8 +75,7 @@ def bsf_filter_sde(spec: SDESpec, nsim: int, L: int, key,
         x_t, nw, ll, t = carry
         kt = xs
         kr, kp = jax.random.split(kt)
-        idx = stratified_indices(nw, kr)
-        anc = x_t[idx]
+        anc, idx = stratified_select(nw, kr, x_t)
         x_next = jax.vmap(lambda k, x: milstein(spec, x, k, L, gen_L=gen_L))(
             jax.random.split(kp, nsim), anc)
         is_last = t + 1 >= n

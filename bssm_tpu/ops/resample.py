@@ -26,6 +26,51 @@ def stratified_indices(weights: jnp.ndarray, key) -> jnp.ndarray:
     return jnp.clip(jnp.searchsorted(cp, u, side="left"), 0, N - 1).astype(jnp.int32)
 
 
+def stratified_select(weights: jnp.ndarray, key, alpha: jnp.ndarray):
+    """(resampled values, indices) sharing one uniform draw: the values
+    come from the one-hot selection matmul (`stratified_gather` rationale —
+    MXU-friendly, no per-particle gather) and the indices from the same
+    uniforms via searchsorted, for ancestor tracing.  Both agree with
+    ``alpha[stratified_indices(weights, key)]`` identically."""
+    N = weights.shape[0]
+    dt = weights.dtype
+    cp = jnp.cumsum(weights)
+    cp = cp.at[-1].set(1.0)
+    r = jax.random.uniform(key, (N,), dt)
+    u = (jnp.arange(N, dtype=dt) + r) / N
+    idx = jnp.clip(jnp.searchsorted(cp, u, side="left"), 0,
+                   N - 1).astype(jnp.int32)
+    ge = cp[None, :] >= u[:, None]
+    prev = jnp.concatenate([jnp.zeros((1,), dt), cp[:-1]])
+    lt = prev[None, :] < u[:, None]
+    H = (ge & lt).astype(alpha.dtype)
+    return H @ alpha, idx
+
+
+def stratified_gather(weights: jnp.ndarray, key, alpha: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Resampled particle VALUES via a one-hot selection matmul: returns
+    ``alpha[stratified_indices(weights, key)]`` without the gather.
+
+    TPU lowers per-particle dynamic gathers to serialized scatter/gather
+    sequences — the dominant cost of the large-N scan-tier psi filter.
+    The selection matrix H[p, q] = 1{cp[q-1] < u_p <= cp[q]} has exactly
+    one 1 per row by construction, so H @ alpha is the gathered ensemble
+    and runs on the MXU (O(N^2 m) MACs beat O(N) serialized gathers by
+    orders of magnitude at N ~ 256)."""
+    N = weights.shape[0]
+    dt = weights.dtype
+    cp = jnp.cumsum(weights)
+    cp = cp.at[-1].set(1.0)
+    r = jax.random.uniform(key, (N,), dt)
+    u = (jnp.arange(N, dtype=dt) + r) / N
+    ge = cp[None, :] >= u[:, None]                       # (N, N)
+    prev = jnp.concatenate([jnp.zeros((1,), dt), cp[:-1]])
+    lt = prev[None, :] < u[:, None]
+    H = (ge & lt).astype(alpha.dtype)
+    return H @ alpha
+
+
 def ancestor_trace(alpha: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
     """Kitagawa filter-smoother backward tracing.
 
@@ -74,3 +119,19 @@ def systematic_indices(weights: jnp.ndarray, key) -> jnp.ndarray:
     r = jax.random.uniform(key, (), weights.dtype)
     u = (jnp.arange(N, dtype=weights.dtype) + r) / N
     return jnp.clip(jnp.searchsorted(cp, u, side="left"), 0, N - 1).astype(jnp.int32)
+
+def stratified_gather_from_uniforms(weights: jnp.ndarray, r: jnp.ndarray,
+                                    alpha: jnp.ndarray) -> jnp.ndarray:
+    """`stratified_gather` with caller-supplied uniforms (one-hot matmul
+    selection; identical draws to
+    ``alpha[stratified_indices_from_uniforms(weights, r)]``)."""
+    N = weights.shape[0]
+    dt = weights.dtype
+    cp = jnp.cumsum(weights)
+    cp = cp.at[-1].set(1.0)
+    u = (jnp.arange(N, dtype=dt) + r) / N
+    ge = cp[None, :] >= u[:, None]
+    prev = jnp.concatenate([jnp.zeros((1,), dt), cp[:-1]])
+    lt = prev[None, :] < u[:, None]
+    H = (ge & lt).astype(alpha.dtype)
+    return H @ alpha

@@ -209,3 +209,22 @@ def test_simulation_smoother_moments(rng):
         dev = np.asarray(draws[:, t, :]) - mean[t]
         cov = dev.T @ dev / draws.shape[0]
         np.testing.assert_allclose(cov, np.asarray(sm.Vt[t]), atol=0.08)
+
+
+def test_stratified_select_matches_gather(rng):
+    """The one-hot matmul selection (MXU path) must equal the
+    searchsorted-gather selection draw-for-draw."""
+    import jax
+    import jax.numpy as jnp
+    from bssm_tpu.ops.resample import stratified_indices, stratified_select
+    for N in (7, 64, 256):
+        w = rng.random(N) + 1e-3
+        w = jnp.asarray(w / w.sum())
+        alpha = jnp.asarray(rng.normal(size=(N, 3)))
+        key = jax.random.PRNGKey(N)
+        vals, idx = stratified_select(w, key, alpha)
+        idx_ref = stratified_indices(w, key)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+        np.testing.assert_allclose(np.asarray(vals),
+                                   np.asarray(alpha)[np.asarray(idx_ref)],
+                                   rtol=0, atol=0)

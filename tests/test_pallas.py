@@ -197,9 +197,11 @@ def test_psi_logw_estimates_match_psi_filter(rng):
     spec = jax.tree_util.tree_map(lambda a: a[0], specs)
     al = jax.tree_util.tree_map(lambda a: a[0], als)
     keys = jax.random.split(jax.random.PRNGKey(0), 96)
-    a = np.mean([float(pf.psi_logw(spec, al, 64, k)) for k in keys[:48]])
-    b = np.mean([float(pf.psi_filter(spec, al, 64, k).loglik)
-                 for k in keys[48:]])
+    logw_fn = jax.jit(jax.vmap(lambda k: pf.psi_logw(spec, al, 64, k)))
+    filt_fn = jax.jit(jax.vmap(lambda k: pf.psi_filter(spec, al, 64,
+                                                       k).loglik))
+    a = float(np.mean(np.asarray(logw_fn(keys[:48]))))
+    b = float(np.mean(np.asarray(filt_fn(keys[48:]))))
     # per-key sd ~= 0.07 => MC se of the diff ~= 0.014; 0.05 ~= 3.5 sigma
     assert abs(a - b) < 0.05
 
