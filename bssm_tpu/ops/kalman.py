@@ -248,17 +248,23 @@ def smoother_bwd_factors(spec: LGSpec):
     Lb[n] = factor(P_{n|n-1})."""
     from .chol import _psd_factor, _psd_pinv
     r = kfilter(spec)
-    _, _, _, _, Tb, _, _, _ = _step_arrays(spec)
+    _, _, _, _, Tb, RRb, _, _ = _step_arrays(spec)
+    m = spec.m
 
     def back(ahat_next, xs):
-        T, att, Ptt, a_next, P_next = xs
+        T, RR, att, Ptt, a_next, P_next = xs
         J = Ptt @ T.T @ _psd_pinv(P_next)
         ahat = att + J @ (ahat_next - a_next)
-        Sig = Ptt - J @ P_next @ J.T
+        # Joseph form of the backward conditional covariance: identical to
+        # Ptt - J P_pred J' (via J P_pred = Ptt T') but all-additive — the
+        # difference form cancels to ~0 for near-deterministic coordinates
+        # and f32 roundoff over-disperses them by ~1e6x
+        ImJT = jnp.eye(m, dtype=Ptt.dtype) - J @ T
+        Sig = ImJT @ Ptt @ ImJT.T + J @ RR @ J.T
         Sig = 0.5 * (Sig + Sig.T)
         return ahat, (ahat, _psd_factor(Sig), J)
 
-    xs = (Tb, r.att, r.Ptt, r.at[1:], r.Pt[1:])
+    xs = (Tb, RRb, r.att, r.Ptt, r.at[1:], r.Pt[1:])
     _, (ahat, Lb, Ab) = jax.lax.scan(back, r.at[-1], xs, reverse=True)
     ahat = jnp.concatenate([ahat, r.at[-1][None]], axis=0)
     Lb = jnp.concatenate([Lb, _psd_factor(r.Pt[-1])[None]], axis=0)

@@ -134,17 +134,20 @@ def smoother_bwd_factors_mv(spec: MVLGSpec):
     replaces the reference's forward conditionals at f32)."""
     from .chol import _psd_factor, _psd_pinv
     r = kfilter_mv(spec)
-    _, _, _, _, Tb, _, _, _ = _step_arrays(spec)
+    _, _, _, _, Tb, RRb, _, _ = _step_arrays(spec)
+    m = spec.m
 
     def back(ahat_next, xs):
-        T, att, Ptt, a_next, P_next = xs
+        T, RR, att, Ptt, a_next, P_next = xs
         J = Ptt @ T.T @ _psd_pinv(P_next)
         ahat = att + J @ (ahat_next - a_next)
-        Sig = Ptt - J @ P_next @ J.T
+        # Joseph form (see ops.kalman.smoother_bwd_factors): all-additive
+        ImJT = jnp.eye(m, dtype=Ptt.dtype) - J @ T
+        Sig = ImJT @ Ptt @ ImJT.T + J @ RR @ J.T
         Sig = 0.5 * (Sig + Sig.T)
         return ahat, (ahat, _psd_factor(Sig), J)
 
-    xs = (Tb, r.att, r.Ptt, r.at[1:], r.Pt[1:])
+    xs = (Tb, RRb, r.att, r.Ptt, r.at[1:], r.Pt[1:])
     _, (ahat, Lb, Ab) = jax.lax.scan(back, r.at[-1], xs, reverse=True)
     ahat = jnp.concatenate([ahat, r.at[-1][None]], axis=0)
     Lb = jnp.concatenate([Lb, _psd_factor(r.Pt[-1])[None]], axis=0)

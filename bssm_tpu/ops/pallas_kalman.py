@@ -1359,20 +1359,38 @@ def _rts_kernel(n: int, m: int, subs: int,
             lt = t - lo
             for i in range(m):
                 ahat_buf[slot, lt * m + i] = ah[i]
-            # Sig_t = Ptt - J P_{t+1|t} J', symmetrised; Lb = factor(Sig)
-            JP = [[None] * m for _ in range(m)]
+            # Joseph form of the backward conditional covariance:
+            # Sig = (I - J T) Ptt (I - J T)' + J RR J' — identical to
+            # Ptt - J P_pred J' but all-additive (the difference form
+            # cancels to ~0 for near-deterministic coordinates and f32
+            # roundoff over-disperses them ~1e6x)
+            ImJT = [[None] * m for _ in range(m)]
             for i in range(m):
                 for j in range(m):
-                    s = J[i][0] * Pn1[j]
+                    s = J[i][0] * T[0][j]
                     for l in range(1, m):
-                        s = s + J[i][l] * Pn1[l * m + j]
-                    JP[i][j] = s
+                        s = s + J[i][l] * T[l][j]
+                    ImJT[i][j] = (1.0 if i == j else 0.0) - s
+            MP = [[None] * m for _ in range(m)]       # (I-JT) Ptt
+            for i in range(m):
+                for j in range(m):
+                    s = ImJT[i][0] * Ptt[j]
+                    for l in range(1, m):
+                        s = s + ImJT[i][l] * Ptt[l * m + j]
+                    MP[i][j] = s
+            JR = [[None] * m for _ in range(m)]       # J RR
+            for i in range(m):
+                for j in range(m):
+                    s = J[i][0] * RR[0][j]
+                    for l in range(1, m):
+                        s = s + J[i][l] * RR[l][j]
+                    JR[i][j] = s
             Sig = [None] * mm
             for i in range(m):
                 for j in range(m):
-                    s = Ptt[i * m + j]
+                    s = jnp.zeros_like(okf)
                     for l in range(m):
-                        s = s - JP[i][l] * J[j][l]
+                        s = s + MP[i][l] * ImJT[j][l] + JR[i][l] * J[j][l]
                     Sig[i * m + j] = s
             Sig = [0.5 * (Sig[i * m + j] + Sig[j * m + i])
                    for i in range(m) for j in range(m)]
