@@ -271,3 +271,41 @@ def test_drownings_f32_fused_parity():
             "ess_is_frac": ["> 0.9", 0.9]})
     np.testing.assert_allclose(a, b, rtol=0.1, atol=0.005)
     assert eff > 0.9, eff
+
+
+@pytest.mark.slow
+def test_negbin_f32_fused_parity():
+    """negbin + xreg in f32 + fused kernels: covers the phi path of the
+    in-kernel family math (poisson/drownings tests cover u and D)."""
+    from bssm_tpu.core import config
+    from bssm_tpu.diagnostics.summary import ess_is
+    import jax.numpy as jnp
+    d = load_rda(f"{DATA}/negbin_series.rda")["negbin_series"]
+    y, x = d[:, 0], d[:, 1]
+    kw = dict(xreg=x, beta=normal_prior(0.0, 0.0, 10.0),
+              phi=halfnormal_prior(1.0, 10.0),
+              sd_level=halfnormal_prior(0.1, 1.0),
+              sd_slope=halfnormal_prior(0.01, 0.1),
+              a1=np.zeros(2), P1=np.diag([10.0, 0.1]) ** 2,
+              distribution="negative binomial")
+    run = dict(iter=6000, burnin=1500, particles=10, mcmc_type="is2",
+               seed=1, output_type="theta", n_chains=2)
+    m32 = bsm_ng(y, dtype=jnp.float32, **kw)
+    old = config.fused_kernels
+    try:
+        config.set_fused_kernels(True)
+        o32 = run_mcmc(m32, **run)
+    finally:
+        config.set_fused_kernels(old)
+    o64 = run_mcmc(bsm_ng(y, **kw), **run)
+    a = np.average(o32.flat_theta(), axis=0, weights=o32.flat_weights())
+    b = np.average(o64.flat_theta(), axis=0, weights=o64.flat_weights())
+    eff = ess_is(o32.flat_weights()) / o32.flat_weights().size
+    record("negbin_f32_fused_parity",
+           {f"f32_{nm}": v for nm, v in zip(o32.theta_names, a)}
+           | {f"x64_{nm}": v for nm, v in zip(o64.theta_names, b)}
+           | {"ess_is_frac": eff},
+           {"agreement": ["f32-fused == x64-scan", "rtol 0.1 atol 0.005"],
+            "ess_is_frac": ["> 0.9", 0.9]})
+    np.testing.assert_allclose(a, b, rtol=0.1, atol=0.005)
+    assert eff > 0.9, eff
