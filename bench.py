@@ -128,11 +128,17 @@ def main():
 
     on_cpu = jax.default_backend() == "cpu"
     tpu = not on_cpu
+    # 4096 chains is the measured single-chip throughput sweet spot
+    # (SCALING_r04.json: 1.93M samples/s vs 1.65M at 2048)
     chains = int(os.environ.get("BSSM_BENCH_CHAINS",
-                                "128" if on_cpu else "2048"))
+                                "128" if on_cpu else "4096"))
     iters = 1000
 
-    w10 = _run_workload(model, jax, chains, iters, 10, 2048, "psi_N10")
+    # corr_batch trades host->device dispatch count (the axon tunnel costs
+    # ~6-10 ms per chunk call) against single-execution length (must stay
+    # seconds-bounded for the tunnel's RPC deadline): 16384 rows/chunk is
+    # the measured sweet spot for the N=10 fused correction
+    w10 = _run_workload(model, jax, chains, iters, 10, 16384, "psi_N10")
     # BASELINE flagship particle count; scan tier (fused psi kernel is
     # N<=32) with the one-hot matmul resampler — the gather-free selection
     # made this 64x faster (256 chains: 256 s -> 3.5 s of correction)
