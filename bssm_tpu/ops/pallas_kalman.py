@@ -1299,8 +1299,21 @@ def _rts_kernel(n: int, m: int, subs: int,
     # V's small eigenvalues to f32 cancellation and the gains blow up
     # (|A| ~ 500 observed on TPU); the filter-quantity form is f32-stable
     # by construction — and drops the old separate factor pass entirely.
+    # Mosaic workaround: rank-1 (LANES,) loop-carried values in this
+    # backward fori_loop crash the TPU compiler's layout inference
+    # ("Check failed: arr.size() >= layout_rank(implicit_dim) (1 vs 2)",
+    # layout.h:320) when SUBS == 1 and the carry is USED in arithmetic;
+    # carrying them as (1, LANES) sidesteps it.  SUBS == 8 values are
+    # already rank-2.
+    def _wrap(x):
+        return x.reshape(1, -1) if subs == 1 else x
+
+    def _unwrap(c):
+        return c[0] if subs == 1 else c
+
     def make_bwd(slot, lo, hi):
-        def bwd(it, ah_n):
+        def bwd(it, carry_in):
+            ah_n = [_unwrap(c) for c in carry_in]
             t = hi - 1 - it
             v = v_s[t]
             F = f_s[t]
@@ -1400,10 +1413,10 @@ def _rts_kernel(n: int, m: int, subs: int,
             for i in range(m):
                 for j in range(m):
                     lcac_buf[slot, lt * F2 + mm + i * m + j] = J[i][j]
-            return ah
+            return [_wrap(x) for x in ah]
         return bwd
 
-    carry = [a_n[i] for i in range(m)]
+    carry = [_wrap(a_n[i]) for i in range(m)]
     for cb in range(nchb - 1, -1, -1):
         slot = cb % 2
         if cb + 2 < nchb:                       # buffer reuse: wait out-DMA
