@@ -27,9 +27,16 @@ from .approx import ApproxLoglik
 
 
 class PFResult(NamedTuple):
+    """Particle-filter output.  ORDER CONTRACT: ``alpha`` is always in time
+    order (alpha[:, t] is time t).  ``weights`` columns are in *generation*
+    order: time order for the forward filters (bsf), REVERSE time order for
+    the backward-factorized ``psi_filter`` (column 0 = t = n).  In both
+    cases ``weights[:, -1]`` is the final importance weight of the complete
+    trajectories — the only column downstream consumers may use.  Per-time
+    weighted summaries from a psi PFResult must flip the weight axis."""
     loglik: jnp.ndarray
     alpha: jnp.ndarray     # (N, n+1, m) particle trajectories (pre-tracing)
-    weights: jnp.ndarray   # (N, n+1) normalised weights per time
+    weights: jnp.ndarray   # (N, n+1) normalised weights, generation order
     indices: jnp.ndarray   # (N, n) resampling ancestors
 
 

@@ -41,7 +41,9 @@ def stratified_select(weights: jnp.ndarray, key, alpha: jnp.ndarray):
     idx = jnp.clip(jnp.searchsorted(cp, u, side="left"), 0,
                    N - 1).astype(jnp.int32)
     ge = cp[None, :] >= u[:, None]
-    prev = jnp.concatenate([jnp.zeros((1,), dt), cp[:-1]])
+    # prev[0] = -1 (not 0): u == 0.0 must select column 0, matching
+    # searchsorted's side="left" and the fused kernel's q==0 special case
+    prev = jnp.concatenate([jnp.full((1,), -1.0, dt), cp[:-1]])
     lt = prev[None, :] < u[:, None]
     H = (ge & lt).astype(alpha.dtype)
     return H @ alpha, idx
@@ -65,7 +67,7 @@ def stratified_gather(weights: jnp.ndarray, key, alpha: jnp.ndarray
     r = jax.random.uniform(key, (N,), dt)
     u = (jnp.arange(N, dtype=dt) + r) / N
     ge = cp[None, :] >= u[:, None]                       # (N, N)
-    prev = jnp.concatenate([jnp.zeros((1,), dt), cp[:-1]])
+    prev = jnp.concatenate([jnp.full((1,), -1.0, dt), cp[:-1]])
     lt = prev[None, :] < u[:, None]
     H = (ge & lt).astype(alpha.dtype)
     return H @ alpha
@@ -131,7 +133,7 @@ def stratified_gather_from_uniforms(weights: jnp.ndarray, r: jnp.ndarray,
     cp = cp.at[-1].set(1.0)
     u = (jnp.arange(N, dtype=dt) + r) / N
     ge = cp[None, :] >= u[:, None]
-    prev = jnp.concatenate([jnp.zeros((1,), dt), cp[:-1]])
+    prev = jnp.concatenate([jnp.full((1,), -1.0, dt), cp[:-1]])
     lt = prev[None, :] < u[:, None]
     H = (ge & lt).astype(alpha.dtype)
     return H @ alpha

@@ -228,3 +228,24 @@ def test_stratified_select_matches_gather(rng):
         np.testing.assert_allclose(np.asarray(vals),
                                    np.asarray(alpha)[np.asarray(idx_ref)],
                                    rtol=0, atol=0)
+
+
+def test_stratified_zero_uniform_selects_particle_zero(rng):
+    """Regression (r5): a uniform of exactly 0.0 must select column 0 in
+    the one-hot selection matmul, matching searchsorted side='left' —
+    previously the (cp >= u) & (prev < u) row was all-zero at u == 0 and
+    silently injected a zero-state particle."""
+    import jax.numpy as jnp
+    from bssm_tpu.ops.resample import (stratified_gather_from_uniforms,
+                                       stratified_indices_from_uniforms)
+    for N in (8, 256):
+        w = rng.random(N) + 1e-3
+        w = jnp.asarray(w / w.sum())
+        alpha = jnp.asarray(rng.normal(size=(N, 3))) + 5.0  # no zero rows
+        r = jnp.zeros((N,), w.dtype)                        # worst case
+        idx = stratified_indices_from_uniforms(w, r)
+        vals = stratified_gather_from_uniforms(w, r, alpha)
+        np.testing.assert_allclose(np.asarray(vals),
+                                   np.asarray(alpha)[np.asarray(idx)],
+                                   rtol=0, atol=0)
+        assert np.asarray(idx)[0] == 0
