@@ -698,7 +698,8 @@ def _ekf_chain(model: Model, n_iter, burnin, thin, target, gamma, end_ram,
 
 def _make_correct_one(model: Model, nsim, sampling_method,
                       conv_tol=1e-8, max_iter=100,
-                      want_states=True, want_moments=True):
+                      want_states=True, want_moments=True,
+                      psi_resample_every=1):
     """One psi/bsf/spdk correction for a single stored draw
     (`/root/reference/src/approx_mcmc.cpp:353-427,447-518,606-678`).
 
@@ -731,7 +732,9 @@ def _make_correct_one(model: Model, nsim, sampling_method,
                                             ar.ytilde, ar.Htilde), 0.0)
             zero = jnp.zeros((), spec.y.dtype)
             al = ApproxLoglik(ar, sc, zero, zero)
-            return {"log_w": pf_mod.psi_logw(spec, al, nsim, k_pf)}
+            return {"log_w": pf_mod.psi_logw(
+                spec, al, nsim, k_pf,
+                resample_every=psi_resample_every)}
         if sampling_method == "psi":
             log_w, traced, final_w = ops.psi(spec, mode_i, nsim, k_pf)
         elif sampling_method == "bsf":
@@ -762,7 +765,7 @@ def _make_correct_one(model: Model, nsim, sampling_method,
 def _is_correction_flat(model: Model, thetas, modes, keys, nsim,
                         sampling_method, batch_size, mesh=None,
                         want_states=True, want_moments=True,
-                        jit_cache=None):
+                        jit_cache=None, psi_resample_every=1):
     """IS correction over a flat axis of stored draws — the reference's
     OpenMP loop (`approx_mcmc.cpp:364-368`) as HOST-chunked, mesh-sharded
     vmaps.
@@ -776,14 +779,15 @@ def _is_correction_flat(model: Model, thetas, modes, keys, nsim,
     batch axis is sharded over the full device mesh (chains x draws)."""
     correct_one = _make_correct_one(model, nsim, sampling_method,
                                     want_states=want_states,
-                                    want_moments=want_moments)
+                                    want_moments=want_moments,
+                                    psi_resample_every=psi_resample_every)
     Ns = thetas.shape[0]
     jit_cache = {} if jit_cache is None else jit_cache
 
     if mesh is None:
         B = min(Ns, batch_size)
         ckey = ("corr-chunk", nsim, sampling_method, want_states,
-                want_moments, B)
+                want_moments, B, psi_resample_every)
         chunk_fn = jit_cache.get(ckey)
         if chunk_fn is None:
             chunk_fn = jax.jit(jax.vmap(lambda t, m, k: correct_one(
@@ -795,7 +799,7 @@ def _is_correction_flat(model: Model, thetas, modes, keys, nsim,
         B = max(min(Ns, batch_size) // n_dev, 1) * n_dev
         flat_axes = _P(mesh.axis_names)
         ckey = ("corr-chunk-mesh", nsim, sampling_method, want_states,
-                want_moments, B, id(mesh))
+                want_moments, B, id(mesh), psi_resample_every)
         chunk_fn = jit_cache.get(ckey)
         if chunk_fn is None:
             # shard_map (not sharding constraints): each device runs the
@@ -825,7 +829,8 @@ def _is_correction_flat(model: Model, thetas, modes, keys, nsim,
 
 def _is_postprocess(model: Model, thetas, modes, accepted, approx_ll, key, *,
                     is_type, nsim, sampling_method, batch_size, bucket,
-                    mesh, want_states, want_moments, n1m, jit_cache=None):
+                    mesh, want_states, want_moments, n1m, jit_cache=None,
+                    psi_resample_every=1):
     """Host-orchestrated IS post-correction: jitted head selection,
     HOST-chunked corrections (each chunk a bounded jit execution — one
     device program spanning the whole correction can run for minutes at
@@ -877,6 +882,7 @@ def _is_postprocess(model: Model, thetas, modes, accepted, approx_ll, key, *,
                                sampling_method, batch_size, mesh=mesh,
                                want_states=want_states,
                                want_moments=want_moments,
+                               psi_resample_every=psi_resample_every,
                                jit_cache=jit_cache)
 
     fkey = ("corr-finish", is_type, sampling_method, want_states,
@@ -1158,7 +1164,8 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
              theta_init: Optional[jnp.ndarray] = None,
              mesh=None, corr_batch: Optional[int] = None,
              local_approx: bool = True,
-             store_modes: bool = True) -> McmcOutput:
+             store_modes: bool = True,
+             psi_resample_every: int = 1) -> McmcOutput:
     """Bayesian inference via adaptive MCMC (`/root/reference/R/run_mcmc.R`).
 
     mcmc_type: lg models -> "gaussian"; ng models: "is2" (default), "is1",
@@ -1167,6 +1174,13 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
     pseudo-observations at the initial theta (one smoother pass per
     proposal instead of the full Laplace iteration,
     `/root/reference/R/run_mcmc.R:75,434-436`).
+
+    psi_resample_every: stratified-resample period of the IS-correction
+    psi-APF at particle counts > 32 (large-N tier only; theta/logw output).
+    1 (default) = every step, matching the reference exactly; k > 1 skips
+    the selection pass on all but every k-th step — a fixed schedule keeps
+    the likelihood-ratio estimator unbiased (standard adaptive-SMC) while
+    removing the dominant large-N cost.  Check ESS_IS when raising it.
     """
     import time as _time
     t0 = _time.time()
@@ -1345,7 +1359,8 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
             res["approx_ll"], is_key, is_type=is_type, nsim=particles,
             sampling_method=sampling_method, batch_size=corr_batch or 256,
             bucket=bucket, mesh=mesh, want_states=want_states,
-            want_moments=want_moments, n1m=n1m, jit_cache=jit_cache)
+            want_moments=want_moments, n1m=n1m, jit_cache=jit_cache,
+            psi_resample_every=psi_resample_every)
         post = jax.tree_util.tree_map(
             lambda a: a.block_until_ready(), post)
         log_w = post["log_w"]

@@ -257,7 +257,8 @@ def bsf_filter_lg(spec: LGSpec, nsim: int, key) -> PFResult:
     return PFResult(loglik, jnp.swapaxes(alpha, 0, 1), weights.T, idxs.T)
 
 
-def psi_logw(spec: NGSpec, al: ApproxLoglik, nsim: int, key) -> jnp.ndarray:
+def psi_logw(spec: NGSpec, al: ApproxLoglik, nsim: int, key,
+             resample_every: int = 1) -> jnp.ndarray:
     """The psi-APF log-likelihood estimate ONLY (no trajectories) — the IS
     post-correction's inner quantity when states aren't requested.
 
@@ -267,25 +268,44 @@ def psi_logw(spec: NGSpec, al: ApproxLoglik, nsim: int, key) -> jnp.ndarray:
     consuming identical inputs.  Beyond the kernel's N cap the
     pre-generated tensor is pure overhead — (n+1, N, m) normals
     materialized per draw is ~650 MB of HBM traffic per 2048-draw chunk at
-    N = 256 — so the large-N path generates its randomness per scan step
-    (same stream as `psi_filter`)."""
-    from ..ops.pallas_kalman import _MAX_N_PSI, psi_logw_auto
+    N = 256 — so the large-N tier either routes through the particles-in-
+    sublanes Pallas kernel with IN-KERNEL PRNG (`_psi_big_auto`, N <= 512)
+    or generates its randomness per scan step (same stream as
+    `psi_filter`).
+
+    ``resample_every`` (large-N tier only): stratified-resample every k-th
+    step instead of every step — a fixed schedule keeps the estimator
+    unbiased while skipping the dominant selection cost; 1 (default)
+    matches the reference exactly."""
+    from ..ops.pallas_kalman import (_MAX_N_PSI, _psi_big_auto,
+                                     _supported_psi_big, psi_logw_auto)
     n, m = spec.n, spec.m
     dt = spec.y.dtype
     if nsim > _MAX_N_PSI:
-        return al.loglik + _psi_logw_keyed(spec, al, nsim, key)
+        if _supported_psi_big(n, m, nsim):
+            seeds = key
+            if jnp.issubdtype(seeds.dtype, jax.dtypes.prng_key):
+                seeds = jax.random.key_data(seeds)
+            big = _psi_big_auto(nsim, int(resample_every))
+            return al.loglik + big(spec, al, seeds)
+        return al.loglik + _psi_logw_keyed(spec, al, nsim, key,
+                                           resample_every=resample_every)
     k_e, k_r = jax.random.split(key)
     eps = jax.random.normal(k_e, (n + 1, nsim, m), dt)
     us = jax.random.uniform(k_r, (n, nsim), dt)
     return al.loglik + psi_logw_auto(spec, al, eps, us)
 
 
-def _psi_logw_keyed(spec: NGSpec, al: ApproxLoglik, nsim: int, key
-                    ) -> jnp.ndarray:
+def _psi_logw_keyed(spec: NGSpec, al: ApproxLoglik, nsim: int, key,
+                    resample_every: int = 1) -> jnp.ndarray:
     """Large-N psi-APF log-weight with per-step RNG — exactly
     ``psi_filter``'s stream minus trajectory storage, so
     `_psi_logw_keyed(..., key) == psi_filter(..., key).loglik - al.loglik`
-    holds identically."""
+    holds identically (at resample_every=1).
+
+    resample_every > 1 uses the general adaptive-SMC weight recursion
+    (log-weight carry across non-resampled steps); the k=1 branch is kept
+    byte-identical to round-4 numerics."""
     n, m = spec.n, spec.m
     dt = spec.y.dtype
     g = al.approx.gaussian(spec)
@@ -305,27 +325,68 @@ def _psi_logw_keyed(spec: NGSpec, al: ApproxLoglik, nsim: int, key
 
     from ..ops.resample import stratified_gather
 
+    if resample_every == 1:
+        def step(carry, xs):
+            alpha_prev, nw, ll = carry
+            (kt, ah_t, ah_prev, A_t, L_t, y_t, u_t, yt_t, H_t, sc_t,
+             Z_t, D_t) = xs
+            kr, kp = jax.random.split(kt)
+            # one-hot matmul selection: same draw as
+            # alpha_prev[stratified_indices(nw, kr)] without the
+            # TPU-hostile per-particle gather (the scan-tier bottleneck
+            # at large N)
+            anc = stratified_gather(nw, kr, alpha_prev)
+            um = jax.random.normal(kp, (nsim, m), dt)
+            alpha_t = ah_t + (anc - ah_prev) @ A_t.T + um @ L_t.T
+            ok = jnp.isfinite(y_t)
+            s = _signals(spec, alpha_t, Z_t, D_t)
+            lw = fam.log_weights(spec.distribution, y_t, u_t, spec.phi, s,
+                                 yt_t, H_t) - sc_t
+            inc, nw_new = _lse_update(jnp.where(ok, lw, 0.0), nsim, dt)
+            ll = ll + jnp.where(ok, inc, 0.0)
+            nw_new = jnp.where(ok, nw_new, jnp.ones((nsim,), dt) / nsim)
+            return (alpha_t, nw_new, ll), None
+
+        xs = (keys, flip(ahat[:-1]), flip(ahat[1:]), flip(Ab[:-1]),
+              flip(Lb[:-1]), flip(spec.y), flip(spec.u),
+              flip(al.approx.ytilde), flip(al.approx.Htilde), flip(scl),
+              flip(Zb), flip(Db))
+        (_, _, ll), _ = jax.lax.scan(step, (alpha0, nw0, ll0), xs)
+        return ll
+
+    kk = int(resample_every)
+    do_rs = (jnp.arange(n) % kk) == 0          # step s=1.. -> (s-1) % kk
+    unif = jnp.ones((nsim,), dt) / nsim
+
     def step(carry, xs):
         alpha_prev, nw, ll = carry
-        (kt, ah_t, ah_prev, A_t, L_t, y_t, u_t, yt_t, H_t, sc_t,
+        (kt, do, ah_t, ah_prev, A_t, L_t, y_t, u_t, yt_t, H_t, sc_t,
          Z_t, D_t) = xs
         kr, kp = jax.random.split(kt)
-        # one-hot matmul selection: same draw as
-        # alpha_prev[stratified_indices(nw, kr)] without the TPU-hostile
-        # per-particle gather (the scan-tier bottleneck at large N)
-        anc = stratified_gather(nw, kr, alpha_prev)
+        anc_rs = stratified_gather(nw, kr, alpha_prev)
+        anc = jnp.where(do, anc_rs, alpha_prev)
+        nw_eff = jnp.where(do, unif, nw)
         um = jax.random.normal(kp, (nsim, m), dt)
         alpha_t = ah_t + (anc - ah_prev) @ A_t.T + um @ L_t.T
         ok = jnp.isfinite(y_t)
         s = _signals(spec, alpha_t, Z_t, D_t)
         lw = fam.log_weights(spec.distribution, y_t, u_t, spec.phi, s,
                              yt_t, H_t) - sc_t
-        inc, nw_new = _lse_update(jnp.where(ok, lw, 0.0), nsim, dt)
+        lw = jnp.where(ok, lw, 0.0)
+        lt = jnp.log(nw_eff) + jnp.where(jnp.isfinite(lw), lw, -jnp.inf)
+        mx = jnp.max(lt)
+        mx_ok = jnp.isfinite(mx)
+        mxs = jnp.where(mx_ok, mx, 0.0)
+        w = jnp.where(jnp.isfinite(lt), jnp.exp(lt - mxs), 0.0)
+        sw = jnp.sum(w)
+        ok2 = (sw > 0) & mx_ok
+        inc = jnp.where(ok2, mxs + jnp.log(jnp.maximum(sw, 1e-35)),
+                        -jnp.inf)
         ll = ll + jnp.where(ok, inc, 0.0)
-        nw_new = jnp.where(ok, nw_new, jnp.ones((nsim,), dt) / nsim)
+        nw_new = jnp.where(ok2, w / jnp.maximum(sw, 1e-35), unif)
         return (alpha_t, nw_new, ll), None
 
-    xs = (keys, flip(ahat[:-1]), flip(ahat[1:]), flip(Ab[:-1]),
+    xs = (keys, do_rs, flip(ahat[:-1]), flip(ahat[1:]), flip(Ab[:-1]),
           flip(Lb[:-1]), flip(spec.y), flip(spec.u),
           flip(al.approx.ytilde), flip(al.approx.Htilde), flip(scl),
           flip(Zb), flip(Db))

@@ -2008,3 +2008,382 @@ def fused_fast_smoother_ll_batched(spec, axis_size, interpret=False):
                   + jnp.sum(jnp.abs(rr[:B]), axis=(-1, -2))) < ZERO_TOL
     ll = jnp.where(degenerate, -jnp.inf, ll)
     return alpha, ll
+
+
+# ---------------------------------------------------------------------------
+# fused LARGE-N psi-APF kernel (particles in sublanes)
+# ---------------------------------------------------------------------------
+# The small-N kernel above unrolls the particle ensemble into registers,
+# which caps N at 32.  The reference's own benchmark grid runs bootstrap
+# filters with 200 particles and BASELINE.json's headline metric is
+# psi-APF at N=256 (`/root/reference/benchmarks/replications.Rmd:27-78`),
+# so large N is a first-class regime.  This kernel re-lays the problem:
+#
+# - IS-correction draws stay in the 128 LANES (matching the factor-kernel
+#   pipeline layout), the N-particle ensemble maps onto SUBLANES as
+#   (N, 128) tiles — every elementwise op is N/8 full vregs;
+# - stratified resampling is a one-hot contraction built from a single
+#   broadcast compare per output particle: with Ge[p, q] = 1{cum_q >= u_p}
+#   and the telescoping identity sum_q H[p,q] a_q = sum_q Ge[p,q] (a_q -
+#   a_{q+1}), selection costs one (N, 128) compare + m multiply-reduces
+#   per output particle (no gather, no (N, N, B) one-hot materialised);
+#   the weight prefix-sum rides the MXU (lower-triangular ones matmul);
+# - randomness is generated IN-KERNEL (pltpu.prng_random_bits + Box-
+#   Muller), eliminating the (n, N, m)-normals HBM stream that dominates
+#   the large-N scan tier (~315 KB per draw per correction);
+# - `kk` (resample period) statically skips the selection pass on all but
+#   every kk-th step: the psi-APF's near-flat weights keep within-filter
+#   ESS high between resamplings (standard adaptive-SMC practice; the
+#   estimator stays unbiased for any fixed schedule), trading a documented
+#   ESS_IS check for the dominant cost.  kk=1 reproduces the reference's
+#   every-step stratified semantics (`/root/reference/src/
+#   model_ssm_ung.cpp:511-609`).
+#
+# `stream=True` replaces the in-kernel PRNG with injected eps/us tensors
+# (interpret-testable on CPU; pltpu.prng_* has no CPU lowering) — the two
+# modes share every other code path, so CPU tests pin the selection /
+# propagation / weight math and the TPU zoo run validates the PRNG tier
+# statistically.
+
+_MAX_N_PSI_BIG = 512
+
+
+def _psi_big_rows(n: int, m: int, N: int):
+    F = m + 2 * m * m
+    io = (n + 1) * (6 + F) + m + 1
+    scratch = (m + 1) * N
+    return scratch, io
+
+
+def _supported_psi_big(n: int, m: int, N: int) -> bool:
+    sc, io = _psi_big_rows(n, m, N)
+    # io double-buffered by the grid pipeline; ~6N rows of live (N, 128)
+    # values (alpha, dalpha, cum, u, weights) on top of the scratch refs
+    return (m <= _MAX_M_RTS and _MAX_N_PSI < N <= _MAX_N_PSI_BIG
+            and N % 8 == 0
+            and (2 * io + sc + 6 * N) * LANES * 4 < _VMEM_LIMIT_BYTES)
+
+
+def _psi_big_kernel(n: int, m: int, N: int, dist: int, kk: int,
+                    stream: bool, z_ref, phi_ref, obs_ref, fac_ref,
+                    seed_ref, eps_ref, us_ref, logw_ref, anc_ref, u_ref):
+    """Large-N psi-APF log-weight; one grid block = 128 draws x N particles.
+
+    Row layouts match `_psi_kernel` (generation order, step s holds state
+    t = n - s; obs row 0 is the NaN pad for the obs-free alpha_n draw):
+      obs row s*6 + k:  [ytilde, Htilde, y, u, scales, D][k]
+      fac row s*F + j:  [ahat (m), Lcond (mm), Acond (mm)], F = m + 2mm
+    stream mode:  eps row s*N*m + j*N + p;  us row s*N + p (row block 0
+    unused — uniforms are consumed at the step that resamples).
+    """
+    f32 = jnp.float32
+    mm = m * m
+    F = m + 2 * mm
+    Nm = N * m
+    tiny = 1e-35
+    neglogN = float(-np.log(N))
+
+    if not stream:
+        pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+
+    phi = phi_ref[pl.ds(0, 1), :]
+    zrow = [z_ref[pl.ds(i, 1), :] for i in range(m)]
+    rio = jax.lax.broadcasted_iota(f32, (N, LANES), 0)
+    last_row = rio == (N - 1)
+    Ulow = (jax.lax.broadcasted_iota(f32, (N, N), 1)
+            <= jax.lax.broadcasted_iota(f32, (N, N), 0)).astype(f32)
+
+    def rand_u01(shape):
+        bits = pltpu.prng_random_bits(shape)
+        return ((bits >> 8).astype(f32) + 0.5) * (1.0 / (1 << 24))
+
+    def draw_normals(s):
+        if stream:
+            return [eps_ref[pl.ds(s * Nm + j * N, N), :] for j in range(m)]
+        out = []
+        for _ in range((m + 1) // 2):
+            u1 = rand_u01((N, LANES))
+            u2 = rand_u01((N, LANES))
+            rad = jnp.sqrt(-2.0 * jnp.log(u1))
+            ang = (2.0 * np.pi) * u2
+            out.append(rad * jnp.cos(ang))
+            out.append(rad * jnp.sin(ang))
+        return out[:m]
+
+    def draw_uniforms(s):
+        if stream:
+            return us_ref[pl.ds(s * N, N), :]
+        return rand_u01((N, LANES))
+
+    def propagate(s, anc, ahp):
+        eps = draw_normals(s)
+        base = s * F
+        ah_t = [fac_ref[pl.ds(base + i, 1), :] for i in range(m)]
+        Lr = [fac_ref[pl.ds(base + m + ij, 1), :] for ij in range(mm)]
+        Ar = [fac_ref[pl.ds(base + m + mm + ij, 1), :] for ij in range(mm)]
+        alpha_new = []
+        for i in range(m):
+            acc = ah_t[i]
+            for j in range(m):
+                acc = acc + Ar[i * m + j] * (anc[j] - ahp[j]) \
+                    + Lr[i * m + j] * eps[j]
+            alpha_new.append(acc)
+        return tuple(alpha_new), tuple(ah_t)
+
+    def weight(s, alpha, lnw, ll):
+        ob = s * 6
+        yt = obs_ref[pl.ds(ob + 0, 1), :]
+        ht = obs_ref[pl.ds(ob + 1, 1), :]
+        y = obs_ref[pl.ds(ob + 2, 1), :]
+        uu = obs_ref[pl.ds(ob + 3, 1), :]
+        sc = obs_ref[pl.ds(ob + 4, 1), :]
+        dd = obs_ref[pl.ds(ob + 5, 1), :]
+        if dist == _SVM:
+            sig = alpha[0]
+        else:
+            sig = dd
+            for i in range(m):
+                sig = sig + zrow[i] * alpha[i]
+        lw = _lane_log_weight(dist, y, uu, phi, sig, yt, ht) - sc
+        oky = jnp.isfinite(y)
+        lw = jnp.where(oky, lw, 0.0)
+        lt = lnw + lw
+        lt = jnp.where(jnp.isfinite(lt), lt, -jnp.inf)
+        mx = jnp.max(lt, axis=0, keepdims=True)
+        mx_ok = jnp.isfinite(mx)
+        mxs = jnp.where(mx_ok, mx, 0.0)
+        w = jnp.where(jnp.isfinite(lt), jnp.exp(lt - mxs), 0.0)
+        sw = jnp.sum(w, axis=0, keepdims=True)
+        ok2 = (sw > 0) & mx_ok
+        inc = jnp.where(ok2, mxs + jnp.log(jnp.maximum(sw, tiny)),
+                        -jnp.inf)
+        ll = ll + jnp.where(oky, inc, 0.0)
+        lnw_new = jnp.where(ok2, lt - inc, neglogN)
+        return lnw_new, ll
+
+    def resample(s0, alpha, lnw):
+        nw = jnp.where(jnp.isfinite(lnw), jnp.exp(lnw), 0.0)
+        cum = jax.lax.dot_general(Ulow, nw, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        cum = jnp.where(last_row, 1.0, cum)
+        r = draw_uniforms(s0)
+        u_ref[...] = (rio + r) * (1.0 / N)
+        dal = []
+        for i in range(m):
+            rolled = pltpu.roll(alpha[i], N - 1, 0)     # shift-up by one
+            dal.append(alpha[i] - jnp.where(last_row, 0.0, rolled))
+
+        def pbody(p, tok):
+            up = u_ref[pl.ds(p, 1), :]
+            ge = (cum >= up).astype(f32)
+            for i in range(m):
+                anc_ref[pl.ds(i * N + p, 1), :] = jnp.sum(
+                    ge * dal[i], axis=0, keepdims=True)
+            return tok
+
+        jax.lax.fori_loop(0, N, pbody, 0)
+        return tuple(anc_ref[pl.ds(i * N, N), :] for i in range(m))
+
+    # step 0: draw alpha_n from N(ahat_n, L_n L_n') — no observation
+    eps0 = draw_normals(0)
+    ah0 = [fac_ref[pl.ds(i, 1), :] for i in range(m)]
+    L0 = [fac_ref[pl.ds(m + ij, 1), :] for ij in range(mm)]
+    alpha = []
+    for i in range(m):
+        acc = ah0[i]
+        for j in range(m):
+            acc = acc + L0[i * m + j] * eps0[j]
+        alpha.append(acc)
+    lnw0 = jnp.full((N, LANES), neglogN, f32)
+    ll0 = jnp.zeros((1, LANES), f32)
+
+    nseg = -(-n // kk)
+
+    def seg_body(seg, carry):
+        alpha, lnw, ll, ahp = carry
+        s0 = 1 + seg * kk
+        anc = resample(s0, alpha, lnw)
+        alpha, aht = propagate(s0, anc, ahp)
+        lnw, ll = weight(s0, alpha, jnp.full((N, LANES), neglogN, f32), ll)
+
+        def inner(s, c):
+            al_, lnw_, ll_, ahp_ = c
+            al2, aht2 = propagate(s, al_, ahp_)
+            lnw2, ll2 = weight(s, al2, lnw_, ll_)
+            return (al2, lnw2, ll2, aht2)
+
+        hi = jnp.minimum(s0 + kk, n + 1)
+        return jax.lax.fori_loop(s0 + 1, hi, inner, (alpha, lnw, ll, aht))
+
+    carry = jax.lax.fori_loop(0, nseg, seg_body,
+                              (tuple(alpha), lnw0, ll0, tuple(ah0)))
+    logw_ref[...] = carry[2]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "N", "dist", "kk",
+                                             "stream", "interpret"))
+def _fused_psi_big_call(yt, ht, y, u, sc, d, z, phi, ahat, lc, ac, seeds,
+                        eps, us, *, n, m, N, dist, kk, stream=False,
+                        interpret=False):
+    """Dispatch the large-N psi kernel.  Chain-batched inputs as in
+    `_fused_psi_call`; seeds (2,) int32 (ignored in stream mode); stream
+    mode takes eps (Cn, n+1, m, N) and us (Cn, n+1, N)."""
+    Cn = y.shape[0]
+    dt = y.dtype
+    mm = m * m
+    F = m + 2 * mm
+    lanes_last, spec, out_sd, unpack, scratch_t = _tiles(Cn, 1, dt)
+
+    obs = jnp.stack([yt, ht, y, u, sc, d], axis=2)          # (Cn, n, 6)
+    nanv = jnp.full((Cn, 1), jnp.nan, dt)
+    onev = jnp.ones((Cn, 1), dt)
+    zerov = jnp.zeros((Cn, 1), dt)
+    pad0 = jnp.stack([nanv, onev, nanv, onev, zerov, zerov], axis=2)
+    obs = jnp.concatenate([pad0, jnp.flip(obs, axis=1)], axis=1)
+    fac = jnp.concatenate([ahat, lc.reshape(Cn, n + 1, mm),
+                           ac.reshape(Cn, n + 1, mm)], axis=2)
+    fac = jnp.flip(fac, axis=1)
+
+    if stream:
+        eps_rows = lanes_last(eps.reshape(Cn, (n + 1) * N * m),
+                              (n + 1) * N * m)
+        us_rows = lanes_last(us.reshape(Cn, (n + 1) * N), (n + 1) * N)
+        eps_spec, us_spec = spec((n + 1) * N * m), spec((n + 1) * N)
+    else:
+        eps_rows = jnp.zeros((8, Cn), dt)
+        us_rows = jnp.zeros((8, Cn), dt)
+        eps_spec, us_spec = spec(8), spec(8)
+
+    args = (lanes_last(z, m), lanes_last(phi, 1),
+            lanes_last(obs.reshape(Cn, (n + 1) * 6), (n + 1) * 6),
+            lanes_last(fac.reshape(Cn, (n + 1) * F), (n + 1) * F),
+            seeds, eps_rows, us_rows)
+    grid = (Cn // LANES,)
+    in_specs = [spec(m), spec(1), spec((n + 1) * 6), spec((n + 1) * F),
+                pl.BlockSpec(memory_space=pltpu.SMEM), eps_spec, us_spec]
+    logw = pl.pallas_call(
+        functools.partial(_psi_big_kernel, n, m, N, dist, kk, stream),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=spec(1),
+        out_shape=out_sd(1),
+        scratch_shapes=[scratch_t(m * N), scratch_t(N)],
+        interpret=interpret,
+    )(*args)
+    return logw.reshape(Cn)
+
+
+def _psi_big_prep(spec, al, axis_size, interpret):
+    """Shared batched-input prep: factors via the fused RTS kernel plus
+    dense chain-batched obs arrays; None if unsupported."""
+    n = spec.y.shape[-1]
+    m = spec.a1.shape[-1]
+    if spec.distribution not in (_SVM, _POISSON, _BINOMIAL, _NEGBIN,
+                                 _GAMMA):
+        return None
+    g = spec.approx_gaussian(al.approx.ytilde, al.approx.Htilde)
+    fac = fused_smoother_bwd_factors_batched(g, axis_size,
+                                             interpret=interpret)
+    if fac is None:
+        return None
+    ahat, Lc, Ac = fac
+    B = ahat.shape[0]
+    dt = ahat.dtype
+
+    def dense(x, core_ndim):
+        x = jnp.asarray(x, dt)
+        if x.ndim == core_ndim:
+            x = jnp.broadcast_to(x, (B,) + x.shape)
+        return x
+
+    y = dense(spec.y, 1)
+    u = dense(spec.u, 1)
+    yt = dense(al.approx.ytilde, 1)
+    ht = dense(al.approx.Htilde, 1)
+    sc = dense(al.scales, 1)
+    D = dense(spec.D, 1)
+    if D.shape[-1] == 1:
+        D = jnp.broadcast_to(D, (B, n))
+    Z = dense(spec.Z, 2)[:, 0]
+    phi_arr = jnp.asarray(spec.phi, dt)
+    if phi_arr.ndim == 0:
+        phi = jnp.full((B, 1), phi_arr, dt)
+    else:
+        phi = phi_arr.reshape(B, 1)
+    return (yt, ht, y, u, sc, D, Z, phi, ahat, Lc, Ac), B, n, m
+
+
+def fused_psi_big_batched(spec, al, seeds, nsim, kk, axis_size,
+                          interpret=False):
+    """Batched large-N psi-APF log-weight with in-kernel PRNG, or None.
+    ``seeds``: (B, 2) or (2,) uint32 raw key data; one base seed per call
+    (blocks and chunks decorrelate via program_id / differing keys)."""
+    n = spec.y.shape[-1]
+    m = spec.a1.shape[-1]
+    if not _supported_psi_big(n, m, nsim):
+        return None
+    prep = _psi_big_prep(spec, al, axis_size, interpret)
+    if prep is None:
+        return None
+    arrays, B, n, m = prep
+    seed_row = seeds[0] if seeds.ndim > 1 else seeds
+    seed2 = jax.lax.bitcast_convert_type(seed_row, jnp.int32)
+    arrays = _pad_block(list(arrays), B, 1)
+    zero = jnp.zeros((1,), arrays[0].dtype)
+    logw = _fused_psi_big_call(*arrays, seed2, zero, zero, n=n, m=m,
+                               N=nsim, dist=spec.distribution, kk=kk,
+                               stream=False, interpret=interpret)
+    return logw[:B]
+
+
+def psi_big_logw_stream(spec, al, eps, us, kk, interpret=True):
+    """Stream-mode (injected randomness) large-N psi log-weight for
+    parity testing: eps (B, n+1, m, N), us (B, n+1, N) (row block 0
+    unused).  Returns (B,) log psi-weights (excluding al.loglik)."""
+    B = eps.shape[0]
+    N = eps.shape[-1]
+    prep = _psi_big_prep(spec, al, B, interpret)
+    if prep is None:
+        return None
+    arrays, B2, n, m = prep
+    assert B2 == B
+    arrays = _pad_block(list(arrays) + [eps, us], B, 1)
+    eps_p, us_p = arrays[-2], arrays[-1]
+    seed2 = jnp.zeros((2,), jnp.int32)
+    logw = _fused_psi_big_call(*arrays[:-2], seed2, eps_p, us_p, n=n, m=m,
+                               N=N, dist=spec.distribution, kk=kk,
+                               stream=True, interpret=interpret)
+    return logw[:B]
+
+
+@functools.lru_cache(maxsize=None)
+def _psi_big_auto(nsim: int, kk: int):
+    """custom_vmap dispatcher for the large-N tier, one instance per
+    (particle count, resample period)."""
+
+    @jax.custom_batching.custom_vmap
+    def psi_big(spec, al, seeds):
+        from ..inference.particle import _psi_logw_keyed
+        return _psi_logw_keyed(spec, al, nsim, seeds, resample_every=kk)
+
+    @psi_big.def_vmap
+    def _vmap(axis_size, in_batched, spec, al, seeds):
+        from ..core import config as _config
+        from ..inference.particle import _psi_logw_keyed
+        # the PRNG tier is TPU-only: pltpu.prng_* has no CPU/interpret
+        # lowering (the stream variant covers CPU testing)
+        if _config.use_fused() and not _interpret_mode():
+            out = fused_psi_big_batched(spec, al, seeds, nsim, kk,
+                                        axis_size, interpret=False)
+            if out is not None:
+                return out, True
+            _fallback_notice("psi-big", n=spec.y.shape[-1],
+                             m=spec.a1.shape[-1], N=nsim)
+        axes = jax.tree_util.tree_map(lambda b: 0 if b else None,
+                                      tuple(in_batched))
+        out = jax.vmap(lambda s, a, k: _psi_logw_keyed(
+            s, a, nsim, k, resample_every=kk),
+            in_axes=axes)(spec, al, seeds)
+        return out, True
+
+    return psi_big

@@ -99,3 +99,63 @@ def test_mcmc_linear_in_series_length(rng):
            {"t_512": times[512], "t_2048": times[2048], "ratio": ratio},
            {"ratio": ["< 8.0 (4x data, 2x slack over linear)", 8.0]})
     assert ratio < 8.0, times   # 4x data -> at most ~2x slack over linear
+
+
+def test_negbin_glm_limit(rng):
+    """Negative-binomial GLM limit with known dispersion: degenerate state
+    noise must reproduce IRLS coefficients
+    (`/root/reference/tests/testthat/test_approx.R:100-121`)."""
+    n = 150
+    phi = 3.0
+    x = rng.normal(size=n)
+    mu = np.exp(0.5 + 0.6 * x)
+    y = rng.negative_binomial(phi, phi / (phi + mu)).astype(float)
+    X = np.column_stack([np.ones(n), x])
+
+    beta = np.zeros(2)
+    for _ in range(100):
+        eta = X @ beta
+        m = np.exp(eta)
+        W = m / (1.0 + m / phi)
+        z = eta + (y - m) / m
+        beta = np.linalg.solve(X.T @ (W[:, None] * X), X.T @ (W * z))
+
+    model = ssm_ung(y, Z=np.ones(1), T=np.ones((1, 1)),
+                    R=np.zeros((1, 1)), distribution="negative binomial",
+                    phi=phi, a1=np.zeros(1), P1=np.eye(1) * 1e5,
+                    D=beta[1] * x)
+    spec = model.build(model.theta_init)
+    ar = approximate(spec, conv_tol=1e-12, max_iter=200)
+    intercept = np.asarray(ar.mode) - beta[1] * x
+    np.testing.assert_allclose(intercept, beta[0], atol=5e-3)
+    np.testing.assert_allclose(np.exp(np.asarray(ar.mode)),
+                               np.exp(X @ beta), rtol=1e-2)
+
+
+def test_gamma_glm_limit(rng):
+    """Gamma GLM limit (log link, known shape): the Laplace mode must
+    match IRLS — for log-link gamma the IRLS weights are constant, so the
+    fit is one WLS solve (`/root/reference/tests/testthat/
+    test_approx.R:122-143`)."""
+    n = 150
+    phi = 2.0
+    x = rng.normal(size=n)
+    mu = np.exp(0.8 + 0.5 * x)
+    y = rng.gamma(phi, mu / phi) + 1e-8
+    X = np.column_stack([np.ones(n), x])
+
+    beta = np.zeros(2)
+    for _ in range(100):
+        eta = X @ beta
+        m = np.exp(eta)
+        z = eta + (y - m) / m
+        beta = np.linalg.solve(X.T @ X, X.T @ z)
+
+    model = ssm_ung(y, Z=np.ones(1), T=np.ones((1, 1)),
+                    R=np.zeros((1, 1)), distribution="gamma",
+                    phi=phi, a1=np.zeros(1), P1=np.eye(1) * 1e5,
+                    D=beta[1] * x)
+    spec = model.build(model.theta_init)
+    ar = approximate(spec, conv_tol=1e-12, max_iter=200)
+    intercept = np.asarray(ar.mode) - beta[1] * x
+    np.testing.assert_allclose(intercept, beta[0], atol=5e-3)

@@ -404,3 +404,249 @@ def test_psi_logw_large_n_keyed_matches_psi_filter(rng):
     lw = float(pf.psi_logw(spec, al, N, key))
     ref = float(pf.psi_filter(spec, al, N, key).loglik)
     np.testing.assert_allclose(lw, ref, rtol=0, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# large-N psi-APF kernel (particles in sublanes)
+# ---------------------------------------------------------------------------
+
+def _big_mirror(specs, als, eps, us, kk, B, N):
+    """Straight-line jnp mirror of `_psi_big_kernel`'s math on (N, B)
+    arrays — validates the kernel's ref plumbing / fori structure / roll /
+    scratch against identical arithmetic (same shapes => same XLA CPU
+    kernels in interpret mode)."""
+    from bssm_tpu.ops.pallas_kalman import (
+        _lane_log_weight, fused_smoother_bwd_factors_batched)
+    f32 = jnp.float32
+    n = specs.y.shape[-1]
+    m = specs.a1.shape[-1]
+    mm = m * m
+    dist = int(specs.distribution)
+    g = specs.approx_gaussian(als.approx.ytilde, als.approx.Htilde)
+    ahat, Lc, Ac = fused_smoother_bwd_factors_batched(g, B, interpret=True)
+
+    def bc(x):
+        return np.broadcast_to(np.asarray(x), (B, n))
+    obs = np.stack([np.asarray(als.approx.ytilde),
+                    np.asarray(als.approx.Htilde), bc(specs.y),
+                    bc(specs.u), np.asarray(als.scales),
+                    bc(specs.D)], axis=2)
+    pad0 = np.stack([np.full((B, 1), np.nan), np.ones((B, 1)),
+                     np.full((B, 1), np.nan), np.ones((B, 1)),
+                     np.zeros((B, 1)), np.zeros((B, 1))], axis=2)
+    obs = np.concatenate([pad0, obs[:, ::-1]], axis=1).astype(np.float32)
+    fac = np.concatenate(
+        [np.asarray(ahat), np.asarray(Lc).reshape(B, n + 1, mm),
+         np.asarray(Ac).reshape(B, n + 1, mm)],
+        axis=2)[:, ::-1].astype(np.float32)
+    ZT = jnp.asarray(np.asarray(specs.Z)[:, 0].T)              # (m, B)
+    phiT = jnp.asarray(np.broadcast_to(
+        np.asarray(specs.phi).reshape(-1, 1), (B, 1)).T.astype(np.float32))
+    epsT = jnp.moveaxis(eps, 0, -1)                            # (n+1,m,N,B)
+    usT = jnp.moveaxis(us, 0, -1)
+    obsT = jnp.moveaxis(jnp.asarray(obs), 0, -1)
+    facT = jnp.moveaxis(jnp.asarray(fac), 0, -1)
+
+    neglogN = float(-np.log(N))
+    rio = jax.lax.broadcasted_iota(f32, (N, B), 0)
+    last_row = rio == (N - 1)
+    Ulow = (jax.lax.broadcasted_iota(f32, (N, N), 1)
+            <= jax.lax.broadcasted_iota(f32, (N, N), 0)).astype(f32)
+
+    def weight(s, alpha, lnw, ll):
+        o = obsT[s]
+        ytv, htv, yv, uv, scv, dv = [o[k][None, :] for k in range(6)]
+        if dist == 0:
+            sig = alpha[0]
+        else:
+            sig = dv
+            for i in range(m):
+                sig = sig + ZT[i][None, :] * alpha[i]
+        lw = _lane_log_weight(dist, yv, uv, phiT, sig, ytv, htv) - scv
+        oky = jnp.isfinite(yv)
+        lw = jnp.where(oky, lw, 0.0)
+        lt = jnp.where(jnp.isfinite(lnw + lw), lnw + lw, -jnp.inf)
+        mx = jnp.max(lt, axis=0, keepdims=True)
+        mx_ok = jnp.isfinite(mx)
+        mxs = jnp.where(mx_ok, mx, 0.0)
+        w = jnp.where(jnp.isfinite(lt), jnp.exp(lt - mxs), 0.0)
+        sw = jnp.sum(w, axis=0, keepdims=True)
+        ok2 = (sw > 0) & mx_ok
+        inc = jnp.where(ok2, mxs + jnp.log(jnp.maximum(sw, 1e-35)),
+                        -jnp.inf)
+        ll = ll + jnp.where(oky, inc, 0.0)
+        return jnp.where(ok2, lt - inc, neglogN), ll
+
+    def propagate(s, anc, ahp):
+        f = facT[s]
+        ah_t = [f[i][None, :] for i in range(m)]
+        out = []
+        for i in range(m):
+            acc = ah_t[i]
+            for j in range(m):
+                acc = acc + f[m + mm + i * m + j][None, :] \
+                    * (anc[j] - ahp[j]) \
+                    + f[m + i * m + j][None, :] * epsT[s][j]
+            out.append(acc)
+        return out, ah_t
+
+    def resample(s0, alpha, lnw):
+        nw = jnp.where(jnp.isfinite(lnw), jnp.exp(lnw), 0.0)
+        cum = jax.lax.dot_general(Ulow, nw, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        cum = jnp.where(last_row, 1.0, cum)
+        u = (rio + usT[s0]) * (1.0 / N)
+        anc = []
+        for i in range(m):
+            rolled = jnp.concatenate([alpha[i][1:], alpha[i][:1]], axis=0)
+            dal = alpha[i] - jnp.where(last_row, 0.0, rolled)
+            rows = [jnp.sum((cum >= u[p][None, :]).astype(f32) * dal,
+                            axis=0) for p in range(N)]
+            anc.append(jnp.stack(rows, axis=0))
+        return anc
+
+    @jax.jit
+    def run():
+        f0 = facT[0]
+        ah0 = [f0[i][None, :] for i in range(m)]
+        alpha = []
+        for i in range(m):
+            acc = ah0[i]
+            for j in range(m):
+                acc = acc + f0[m + i * m + j][None, :] * epsT[0][j]
+            alpha.append(acc)
+        lnw = jnp.full((N, B), neglogN, f32)
+        ll = jnp.zeros((1, B), f32)
+        ahp = ah0
+        s = 1
+        while s <= n:
+            anc = resample(s, alpha, lnw)
+            alpha, aht = propagate(s, anc, ahp)
+            lnw, ll = weight(s, alpha, jnp.full((N, B), neglogN, f32), ll)
+            ahp = aht
+            for s2 in range(s + 1, min(s + kk, n + 1)):
+                alpha, aht = propagate(s2, alpha, ahp)
+                lnw, ll = weight(s2, alpha, lnw, ll)
+                ahp = aht
+            s += kk
+        return ll[0]
+
+    return np.asarray(run())
+
+
+@pytest.mark.parametrize("family,kk", [("poisson", 1), ("poisson", 4),
+                                       ("svm", 2)])
+def test_psi_big_kernel_matches_mirror(rng, family, kk):
+    """The particles-in-sublanes large-N kernel must reproduce identical
+    arithmetic run as straight-line jnp, for every resample period."""
+    from bssm_tpu.ops.pallas_kalman import psi_big_logw_stream
+    n, B, N = 11, 128, 64
+    m2 = family != "svm"
+    old = config.fused_kernels
+    try:
+        config.set_fused_kernels(True)
+        specs, als = _ng_batch(rng, n, B, m2=m2, family=family)
+        m = specs.a1.shape[-1]
+        eps = jax.random.normal(jax.random.PRNGKey(1), (B, n + 1, m, N),
+                                jnp.float32)
+        us = jax.random.uniform(jax.random.PRNGKey(2), (B, n + 1, N),
+                                jnp.float32)
+        out = psi_big_logw_stream(specs, als, eps, us, kk, interpret=True)
+        assert out is not None
+        ref = _big_mirror(specs, als, eps, us, kk, B, N)
+        # tolerance scales with the per-draw cancellation magnitude: the
+        # log-weight is a residue of +-|scales|-sized per-step terms, so
+        # XLA-fusion rounding noise is ~1e-7 * sum|scales| (svm reaches
+        # |scales| ~ 300).  That same noise can flip a stratified-
+        # resampling boundary on rare draws, after which the two runs are
+        # different-but-valid MC draws — allow <= 5% such lanes, bounded
+        # by the MC spread.
+        sc_mag = np.abs(np.asarray(als.scales)).sum(axis=1)
+        diff = np.abs(np.asarray(out) - ref)
+        atol = 2e-4 + 2e-6 * sc_mag
+        assert np.mean(diff < atol) >= 0.95, (diff.max(), np.mean(
+            diff < atol))
+        assert np.all(diff < 0.5)
+        assert np.all(np.isfinite(np.asarray(out)))
+    finally:
+        config.set_fused_kernels(old)
+
+
+@pytest.mark.parametrize("kk", [1, 4])
+def test_psi_big_unbiased_vs_scan(rng, kk):
+    """log-mean-exp of the big-kernel psi weights must agree with the
+    every-step scan tier within MC error (the likelihood-ratio estimate is
+    unbiased for ANY fixed resampling schedule)."""
+    from bssm_tpu.inference import particle as pf
+    from bssm_tpu.ops.pallas_kalman import psi_big_logw_stream
+    n, B, N = 17, 256, 64
+    old = config.fused_kernels
+    try:
+        config.set_fused_kernels(True)
+        specs, als = _ng_batch(rng, n, 1, m2=True, family="poisson")
+        spec1, al1 = jax.tree_util.tree_map(lambda a: a[0], (specs, als))
+        specs = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[0], (B,) + a.shape[1:]), specs)
+        als = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[0], (B,) + a.shape[1:]), als)
+        m = 2
+        eps = jax.random.normal(jax.random.PRNGKey(kk), (B, n + 1, m, N),
+                                jnp.float32)
+        us = jax.random.uniform(jax.random.PRNGKey(40 + kk),
+                                (B, n + 1, N), jnp.float32)
+        out = np.asarray(psi_big_logw_stream(specs, als, eps, us, kk,
+                                             interpret=True))
+        keys = jax.random.split(jax.random.PRNGKey(7), B)
+        ref = np.asarray(jax.jit(jax.vmap(
+            lambda k: pf._psi_logw_keyed(spec1, al1, N, k)))(keys))
+
+        def lme(x):
+            mx = x.max()
+            return mx + np.log(np.mean(np.exp(x - mx)))
+        se = (ref.std() + out.std()) / np.sqrt(B)
+        assert abs(lme(out) - lme(ref)) < 5 * se + 0.02
+    finally:
+        config.set_fused_kernels(old)
+
+
+def test_psi_logw_big_dispatch(rng):
+    """psi_logw at 32 < N <= 512 routes through the big-kernel custom_vmap
+    (fused interpret on) and the keyed-scan fallback (fused off), with
+    statistically consistent results; resample_every plumbs through."""
+    from bssm_tpu.inference import particle as pf
+    n, B, N = 17, 192, 64
+    specs, als = _ng_batch(rng, n, 1, m2=True, family="poisson")
+    spec1, al1 = jax.tree_util.tree_map(lambda a: a[0], (specs, als))
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    old = config.fused_kernels
+    try:
+        config.set_fused_kernels(True)
+        out_f = np.asarray(jax.jit(jax.vmap(
+            lambda k: pf.psi_logw(spec1, al1, N, k, resample_every=4)))(
+                keys))
+        config.set_fused_kernels(False)
+        out_s = np.asarray(jax.jit(jax.vmap(
+            lambda k: pf.psi_logw(spec1, al1, N, k, resample_every=4)))(
+                keys))
+    finally:
+        config.set_fused_kernels(old)
+    assert np.all(np.isfinite(out_f)) and np.all(np.isfinite(out_s))
+    se = (out_f.std() + out_s.std()) / np.sqrt(B)
+    assert abs(out_f.mean() - out_s.mean()) < 5 * se + 0.02
+
+
+def test_psi_keyed_resample_every_consistent(rng):
+    """The keyed scan's general weight recursion (resample_every > 1) is
+    statistically consistent with every-step resampling."""
+    from bssm_tpu.inference import particle as pf
+    n, B, N = 17, 192, 48
+    specs, als = _ng_batch(rng, n, 1, m2=False, family="poisson")
+    spec1, al1 = jax.tree_util.tree_map(lambda a: a[0], (specs, als))
+    keys = jax.random.split(jax.random.PRNGKey(6), B)
+    a = np.asarray(jax.jit(jax.vmap(
+        lambda k: pf._psi_logw_keyed(spec1, al1, N, k)))(keys))
+    b = np.asarray(jax.jit(jax.vmap(
+        lambda k: pf._psi_logw_keyed(spec1, al1, N, k,
+                                     resample_every=3)))(keys))
+    se = (a.std() + b.std()) / np.sqrt(B)
+    assert abs(a.mean() - b.mean()) < 5 * se + 0.02

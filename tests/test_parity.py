@@ -309,3 +309,56 @@ def test_negbin_f32_fused_parity():
             "ess_is_frac": ["> 0.9", 0.9]})
     np.testing.assert_allclose(a, b, rtol=0.1, atol=0.005)
     assert eff > 0.9, eff
+
+
+@pytest.mark.slow
+def test_airquality_bsm_ng_gamma_parity():
+    """The reference README Gamma example — the 7.71 s baseline anchor
+    (`/root/reference/README.md:177-228`): bsm_ng gamma on airquality
+    Ozone with Wind+Temp regressors, IS2 with 10 psi-APF particles, 20k
+    iterations / 5k burn-in.  Published weighted posterior: Temp 0.0528
+    (SD 0.0087), Wind -0.0574 (SD 0.0154), phi 4.007 (SD 0.536),
+    sd_level 0.0572 (SD 0.0354), sd_slope 0.0039 (SD 0.0037); alpha_154
+    level -0.2007, slope -0.0027; acceptance 0.257; ESS_IS 7766-14611 of
+    15000 kept draws (>= 52%)."""
+    from bssm_tpu.core.priors import gamma_prior
+    from bssm_tpu.diagnostics.summary import ess_is
+    from bssm_tpu.utils.datasets import airquality
+
+    d = airquality()
+    xreg = np.column_stack([d["Wind"], d["Temp"]])
+    model = bsm_ng(d["Ozone"], xreg=xreg,
+                   beta=normal_prior(np.zeros(2), 0.0, 1.0),
+                   distribution="gamma",
+                   phi=gamma_prior(1.0, 2.0, 0.01),
+                   sd_level=gamma_prior(1.0, 2.0, 0.1),
+                   sd_slope=gamma_prior(1.0, 2.0, 0.1))
+    out = run_mcmc(model, iter=20000, burnin=5000, particles=10,
+                   mcmc_type="is2", seed=1, n_chains=2,
+                   output_type="summary")
+    w = out.flat_weights()
+    th = out.flat_theta()
+    wm = dict(zip(out.theta_names,
+                  np.sum(w[:, None] * th, axis=0) / np.sum(w)))
+    lvl, slp = float(out.alphahat[-1, 0]), float(out.alphahat[-1, 1])
+    eif = float(ess_is(w)) / w.size
+    targets = {"Temp": [0.0528, 0.005], "Wind": [-0.0574, 0.01],
+               "phi": [4.007, 0.4], "sd_level": [0.0572, 0.03],
+               "sd_slope": [0.0039, 0.006], "level_154": [-0.2007, 0.2],
+               "slope_154": [-0.0027, 0.02],
+               "acceptance": [0.257, 0.06], "ess_is_frac": [0.7, ">0.5"]}
+    record("airquality_bsm_ng_gamma_parity",
+           {"Temp": wm["beta_2"], "Wind": wm["beta_1"], "phi": wm["phi"],
+            "sd_level": wm["sd_level"], "sd_slope": wm["sd_slope"],
+            "level_154": lvl, "slope_154": slp,
+            "acceptance": float(out.acceptance_rate),
+            "ess_is_frac": eif}, targets)
+    assert abs(wm["beta_2"] - 0.0528) < 0.005           # Temp
+    assert abs(wm["beta_1"] - (-0.0574)) < 0.01         # Wind
+    assert abs(wm["phi"] - 4.007) < 0.4
+    assert abs(wm["sd_level"] - 0.0572) < 0.03
+    assert abs(wm["sd_slope"] - 0.0039) < 0.006
+    assert abs(lvl - (-0.2007)) < 0.2
+    assert abs(slp - (-0.0027)) < 0.02
+    assert abs(out.acceptance_rate - 0.257) < 0.06
+    assert eif > 0.5
