@@ -57,7 +57,7 @@ def _probe_device(timeout_s: int = 150, attempts: int = 6) -> bool:
 
 
 def _run_workload(model, jax, n_chains, iters, particles, corr_batch,
-                  label):
+                  label, resample_every=1):
     from bssm_tpu.diagnostics.summary import ess_is
     from bssm_tpu.inference.mcmc import run_mcmc
 
@@ -65,7 +65,8 @@ def _run_workload(model, jax, n_chains, iters, particles, corr_batch,
         return run_mcmc(model, iter=iters, particles=particles,
                         mcmc_type="is2", n_chains=n_chains, seed=seed,
                         output_type="theta", corr_batch=corr_batch,
-                        store_modes=False)
+                        store_modes=False,
+                        psi_resample_every=resample_every)
 
     # the tunnel to the device occasionally drops mid-run; retry a few
     # times (compiles are persistent-cached, so retries are cheap)
@@ -84,15 +85,18 @@ def _run_workload(model, jax, n_chains, iters, particles, corr_batch,
 
     total = n_chains * iters
     w = out.flat_weights()
+    eif = float(ess_is(w)) / w.size
     return {
         "label": label, "chains": n_chains, "iters": iters,
-        "particles": particles,
+        "particles": particles, "resample_every": resample_every,
         "samples_per_s": round(total / elapsed, 1),
-        "ess_is_per_s": round(
-            ess_is(w) * (total / w.size) / elapsed, 1),
+        "ess_is_per_s": round(eif * total / elapsed, 1),
+        "ess_is_frac": round(eif, 4),
         "elapsed_s": round(elapsed, 3),
         "finite": bool(np.all(np.isfinite(out.posterior))),
-        "kernel_tier": "fused-pallas" if particles <= 16 else "scan",
+        "kernel_tier": ("fused-pallas" if particles <= 32
+                        else "fused-pallas-bigN" if particles <= 512
+                        else "scan"),
     }
 
 
@@ -135,15 +139,34 @@ def main():
     iters = 1000
 
     # corr_batch trades host->device dispatch count (the axon tunnel costs
-    # ~6-10 ms per chunk call) against single-execution length (must stay
-    # seconds-bounded for the tunnel's RPC deadline): 16384 rows/chunk is
-    # the measured sweet spot for the N=10 fused correction
+    # ~25 ms per chunk call, measured r5) against single-execution length
+    # (must stay seconds-bounded for the tunnel's RPC deadline): 16384
+    # rows/chunk is the measured sweet spot
     w10 = _run_workload(model, jax, chains, iters, 10, 16384, "psi_N10")
-    # BASELINE flagship particle count; scan tier (fused psi kernel is
-    # N<=32) with the one-hot matmul resampler — the gather-free selection
-    # made this 64x faster (256 chains: 256 s -> 3.5 s of correction)
-    c256 = max(chains // 4, 8)
-    w256 = _run_workload(model, jax, c256, iters, 256, 2048, "psi_N256")
+    # BASELINE flagship particle count through the particles-in-sublanes
+    # big-N Pallas kernel (in-kernel PRNG).  Two rows: reference-exact
+    # every-step resampling, and the period-8 schedule (unbiased for any
+    # fixed schedule; ESS_IS reported as evidence)
+    w256 = _run_workload(model, jax, chains, iters, 256, 16384,
+                         "psi_N256", resample_every=8)
+    w256x = _run_workload(model, jax, max(chains // 4, 8), iters, 256,
+                          16384, "psi_N256_refexact", resample_every=1)
+
+    # the reference's own 7.71 s anchor is the GAMMA airquality model
+    # (`/root/reference/README.md:226-228`) — measure it like-for-like
+    from bssm_tpu.core.priors import gamma_prior, normal_prior
+    from bssm_tpu.utils.datasets import airquality
+    aq = airquality()
+    xreg = np.column_stack([aq["Wind"], aq["Temp"]])
+    gmodel = bsm_ng(aq["Ozone"], xreg=xreg,
+                    beta=normal_prior(np.zeros(2), 0.0, 1.0),
+                    distribution="gamma",
+                    phi=gamma_prior(1.0, 2.0, 0.01),
+                    sd_level=gamma_prior(1.0, 2.0, 0.1),
+                    sd_slope=gamma_prior(1.0, 2.0, 0.1),
+                    dtype=jnp.float32)
+    wg = _run_workload(gmodel, jax, chains, iters, 10, 16384,
+                       "gamma_airquality_N10")
 
     result = {
         "metric": "samples_per_s_per_chip_is_mcmc_bsm_ng_psi",
@@ -151,11 +174,14 @@ def main():
         "unit": "samples/s/chip",
         "vs_baseline": round(w10["samples_per_s"] / BASELINE_SAMPLES_PER_S,
                              2),
+        "vs_baseline_gamma_like_for_like": round(
+            wg["samples_per_s"] / BASELINE_SAMPLES_PER_S, 2),
+        "psi_N256_samples_per_s": w256["samples_per_s"],
         "device": str(jax.devices()[0]),
         "tpu": tpu,
         "ess_is_per_s": w10["ess_is_per_s"],
-        "finite": w10["finite"] and w256["finite"],
-        "workloads": [w10, w256],
+        "finite": all(w["finite"] for w in (w10, w256, w256x, wg)),
+        "workloads": [w10, w256, w256x, wg],
     }
     print(json.dumps(result))
     if not tpu:

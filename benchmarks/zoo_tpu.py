@@ -1,12 +1,27 @@
 """Model-zoo TPU smoke: run one short MCMC per model family on the real
-device and record wall time + finiteness + acceptance.
+device and record wall time + finiteness + acceptance, with per-row
+acceptance-window assertions (RAM targets 0.234,
+`/root/reference/src/mcmc.cpp:277`; short runs sit above it because the
+adaptation is still converging — windows are calibrated per row length).
 
-Evidence that every family (lg, ng, svm, mlg, mng, nlg, sde) executes on
-TPU silicon in f32 — the statistical parity suite runs on CPU x64, and
-the flagship bench only exercises bsm_ng, so this fills the hardware
-coverage gap.  Writes ZOO_r0N.json when --out is given.
+Evidence that every family (lg, ng incl. gamma + period-12 seasonal, svm,
+mlg, mng, nlg, sde) executes on TPU silicon in f32 — the statistical
+parity suite runs on CPU x64, and the flagship bench only exercises
+bsm_ng, so this fills the hardware coverage gap.  Round-4 findings folded
+in (VERDICT r4 weak #1):
 
-Usage: python benchmarks/zoo_tpu.py [--out ZOO_r04.json]
+- bsm_lg acceptance 0.556 was adaptation-not-yet-converged at 500 iters
+  (0.33 at 2000, 0.239 at the 20k parity run) -> the lg row runs 2000.
+- ssm_mng(da) acceptance 0.911 was a degenerate config: its update_fn
+  ignored theta, so stage 1 always accepted.  theta now drives the state
+  noise scale.
+- nlg_growth(pm) acceptance 0.003 was a data/proposal mismatch, not TPU
+  f32: the data was not reachable from the model prior, so BSF log-lik
+  estimates were ~ -5e5 with sd ~ 1.5e5 (identical on CPU x64); the
+  psi-APF at the same theta has sd 0.15.  The row now uses
+  model-simulated data (the reference vignette setup) and psi sampling.
+
+Usage: python benchmarks/zoo_tpu.py [--out ZOO_r05.json]
 """
 from __future__ import annotations
 import sys as _sys, pathlib as _pl
@@ -24,6 +39,8 @@ def main():
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--chains", type=int, default=128)
     ap.add_argument("--iter", type=int, default=500)
+    ap.add_argument("--skip-scale", action="store_true",
+                    help="skip the at-scale exchange row")
     args = ap.parse_args()
 
     import jax
@@ -31,30 +48,45 @@ def main():
 
     from bssm_tpu.core.priors import (gamma_prior, halfnormal_prior,
                                       normal_prior, uniform_prior)
+    from bssm_tpu.diagnostics.summary import ess_is
     from bssm_tpu.inference.mcmc import run_mcmc
     from bssm_tpu.models.ar1 import ar1_ng
     from bssm_tpu.models.bsm import bsm_lg, bsm_ng
-    from bssm_tpu.models.examples import nlg_growth
+    from bssm_tpu.models.examples import nlg_growth, simulate_growth
     from bssm_tpu.models.sde import sde_gbm
     from bssm_tpu.models.ssm import ssm_mng
     from bssm_tpu.models.svm import svm
     from bssm_tpu.utils.datasets import airquality
+    from bssm_tpu.utils.rdata import load_rda
 
     dt = jnp.float32
     rng = np.random.default_rng(7)
     rows = []
 
-    def bench(name, model, **kw):
+    def bench(name, model, acc_window, n_iter=None, chains=None,
+              ess_is_min=None, **kw):
+        n_iter = n_iter or args.iter
+        chains = chains or args.chains
         t0 = time.time()
-        out = run_mcmc(model, iter=args.iter, n_chains=args.chains,
+        out = run_mcmc(model, iter=n_iter, n_chains=chains,
                        seed=3, output_type="theta", **kw)
         el = time.time() - t0
+        acc = float(out.acceptance_rate)
         row = {"model": name, "elapsed_s": round(el, 2),
-               "chains": args.chains, "iter": args.iter,
-               "acceptance": round(float(out.acceptance_rate), 3),
+               "chains": chains, "iter": n_iter,
+               "samples_per_s": round(chains * n_iter / el, 1),
+               "acceptance": round(acc, 3),
+               "acc_window": list(acc_window),
+               "acc_ok": acc_window[0] <= acc <= acc_window[1],
                "finite": bool(np.all(np.isfinite(out.posterior))),
                "theta_mean": [round(float(v), 4)
                               for v in np.mean(out.flat_theta(), axis=0)]}
+        if out.weights is not None:
+            w = out.flat_weights()
+            eif = float(ess_is(w)) / w.size
+            row["ess_is_frac"] = round(eif, 4)
+            if ess_is_min is not None:
+                row["ess_is_ok"] = eif >= ess_is_min
         rows.append(row)
         print(json.dumps(row), flush=True)
 
@@ -63,51 +95,102 @@ def main():
     bench("bsm_lg(airquality)", bsm_lg(
         aq["Ozone"], xreg=xreg, beta=normal_prior(np.zeros(2), 0.0, 1.0),
         sd_y=gamma_prior(1.0, 2.0, 0.01), sd_level=gamma_prior(1.0, 2.0, 0.01),
-        sd_slope=gamma_prior(1.0, 2.0, 0.01), dtype=dt))
+        sd_slope=gamma_prior(1.0, 2.0, 0.01), dtype=dt),
+        acc_window=(0.15, 0.45), n_iter=2000)
 
     y = rng.poisson(np.exp(np.cumsum(rng.normal(0, .1, 100)))).astype(float)
     bench("bsm_ng(poisson,is2)", bsm_ng(
         y, sd_level=halfnormal_prior(0.1, 1.0),
         sd_slope=halfnormal_prior(0.01, 0.1), distribution="poisson",
-        dtype=dt), particles=10, mcmc_type="is2")
+        dtype=dt), acc_window=(0.1, 0.5), ess_is_min=0.9,
+        particles=10, mcmc_type="is2")
+
+    # the 7.71 s baseline anchor config (`/root/reference/README.md:226-228`)
+    bench("bsm_ng(gamma airquality,is2)", bsm_ng(
+        aq["Ozone"], xreg=xreg, beta=normal_prior(np.zeros(2), 0.0, 1.0),
+        distribution="gamma", phi=gamma_prior(1.0, 2.0, 0.01),
+        sd_level=gamma_prior(1.0, 2.0, 0.1),
+        sd_slope=gamma_prior(1.0, 2.0, 0.1), dtype=dt),
+        acc_window=(0.1, 0.55), ess_is_min=0.5,
+        particles=10, mcmc_type="is2")
+
+    # period-12 seasonal (m = 13 > fused-kernel envelope: full scan tier;
+    # `/root/reference/R/models.R:926`)
+    mseas = 12
+    seas = 0.4 * np.sin(2 * np.pi * np.arange(120) / mseas)
+    ys = rng.poisson(np.exp(0.5 + seas + np.cumsum(
+        rng.normal(0, 0.05, 120)))).astype(float)
+    bench("bsm_ng(seasonal12,is2,m=13)", bsm_ng(
+        ys, sd_level=halfnormal_prior(0.05, 0.5),
+        sd_seasonal=halfnormal_prior(0.05, 0.5), period=mseas,
+        distribution="poisson", dtype=dt),
+        acc_window=(0.1, 0.55), ess_is_min=0.8,
+        particles=10, mcmc_type="is2")
 
     bench("ar1_ng(negbin,pm)", ar1_ng(
         y, rho=uniform_prior(0.8, -0.999, 0.999),
         sigma=halfnormal_prior(0.3, 1.0), mu=normal_prior(1.0, 0.0, 2.0),
         phi=halfnormal_prior(2.0, 5.0),
         distribution="negative binomial", dtype=dt),
-        particles=10, mcmc_type="pm")
+        acc_window=(0.1, 0.55), particles=10, mcmc_type="pm")
 
     ysv = rng.normal(0, 1, 200) * np.exp(0.3 * np.sin(np.arange(200) / 9))
     bench("svm(is2)", svm(ysv, rho=uniform_prior(0.95, -0.999, 0.999),
                           sd_ar=halfnormal_prior(0.2, 2.0),
                           sigma=halfnormal_prior(0.8, 2.0), dtype=dt),
+          acc_window=(0.1, 0.5), ess_is_min=0.9,
           particles=10, mcmc_type="is2")
 
+    # theta drives the state-noise scale (r4's update_fn ignored theta ->
+    # stage 1 of DA always accepted, acceptance 0.911)
     y2 = np.column_stack([rng.poisson(np.exp(np.cumsum(
         rng.normal(0, .1, 80)))), rng.normal(0, 1, 80).cumsum()])
+
+    def mng_update(th):
+        return {"R": jnp.exp(th[0]) * jnp.eye(2, dtype=dt)[None]}
+
     bench("ssm_mng(pois+gauss,da)", ssm_mng(
         y2.astype(float), Z=np.eye(2), T=0.95 * np.eye(2),
         R=0.2 * np.eye(2), distributions=["poisson", "gaussian"],
         phi=np.array([1.0, 1.0]), P1=np.eye(2),
-        init_theta=(0.0,), update_fn=lambda th: {},
-        dtype=dt), particles=10, mcmc_type="da")
+        init_theta=(np.log(0.2),), update_fn=mng_update,
+        prior_fn=lambda th: -0.5 * jnp.sum(jnp.square(th)),
+        dtype=dt), acc_window=(0.05, 0.5), particles=10, mcmc_type="da")
 
-    yg = 20.0 + np.cumsum(rng.normal(0.4, 1.0, 60))
-    bench("nlg_growth(pm)", nlg_growth(yg, dtype=dt),
-          particles=10, mcmc_type="pm")
+    yg = simulate_growth(n=60, seed=7)
+    yg = yg[0] if isinstance(yg, tuple) else yg
+    bench("nlg_growth(pm,psi)", nlg_growth(np.asarray(yg, float), dtype=dt),
+          acc_window=(0.1, 0.55), particles=10, mcmc_type="pm",
+          sampling_method="psi")
 
     ysde = rng.poisson(np.exp(np.cumsum(rng.normal(0.02, 0.15, 40)))
                        ).astype(float)
     bench("sde_gbm(is2)", sde_gbm(ysde, x0=max(float(ysde[0]), 1.0),
                                   L_f=4, L_c=2, dtype=dt),
-          particles=16, mcmc_type="is2")
+          particles=16, mcmc_type="is2", acc_window=(0.05, 0.5))
 
-    result = {"round": 4, "device": str(jax.devices()[0]),
+    if not args.skip_scale:
+        # exchange-SV at scale: n=945, 2048 chains — possible only with
+        # store_modes=False (the (C, S, n) mode stack was the r4 HBM
+        # wall); N=32 particles keep the fused tier while lifting ESS_IS
+        # above the r4 78.5% droop (psi weight variance grows with n)
+        ex = np.asarray(load_rda(
+            "/root/reference/data/exchange.rda")["exchange"], float)
+        bench("svm(exchange,is2,2048x1000)", svm(
+            ex, rho=uniform_prior(0.98, -0.999, 0.999),
+            sd_ar=halfnormal_prior(0.15, 1.0),
+            sigma=halfnormal_prior(0.6, 2.0), dtype=dt),
+            acc_window=(0.1, 0.5), ess_is_min=0.9,
+            n_iter=1000, chains=2048, particles=32, mcmc_type="is2",
+            corr_batch=8192, store_modes=False)
+
+    result = {"round": 5, "device": str(jax.devices()[0]),
               "dtype": "float32", "rows": rows,
-              "all_finite": all(r["finite"] for r in rows)}
-    print(json.dumps({"all_finite": result["all_finite"],
-                      "device": result["device"]}))
+              "all_finite": all(r["finite"] for r in rows),
+              "all_acc_ok": all(r["acc_ok"] for r in rows),
+              "all_ess_ok": all(r.get("ess_is_ok", True) for r in rows)}
+    print(json.dumps({k: result[k] for k in
+                      ("all_finite", "all_acc_ok", "all_ess_ok", "device")}))
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(result, fh, indent=1)

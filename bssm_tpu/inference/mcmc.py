@@ -468,7 +468,16 @@ def _family_ops(model: Model, conv_tol, max_iter,
                 return ll, mode
 
         def _al_from_mode(spec, mode):
-            ar = approx_mod.approximate_for_is(spec, mode)
+            if mode.shape[-1] != spec.n:
+                # modes were not stored (run_mcmc(store_modes=False), the
+                # memory fix for long-series theta runs): recompute the
+                # Laplace approximation cold.  Phase 1 also cold-starts
+                # every evaluation (see approx_eval above), so the
+                # recomputed approximation is IDENTICAL to the stored one
+                # — same iteration from the same data-derived start.
+                ar = approx_mod.approximate(spec, conv_tol, max_iter)
+            else:
+                ar = approx_mod.approximate_for_is(spec, mode)
             sc = jnp.where(spec.obs_mask,
                            approx_mod.fam.scales(
                                spec.distribution, spec.y, spec.u, spec.phi,
@@ -603,7 +612,7 @@ def _family_ops(model: Model, conv_tol, max_iter,
 
 def _approx_chain(model: Model, n_iter, burnin, thin, target, gamma,
                   end_ram, conv_tol, max_iter, local_approx=True,
-                  coarse_nsim=32):
+                  coarse_nsim=32, scan_modes=True):
     ops = _family_ops(model, conv_tol, max_iter, local_approx, coarse_nsim)
 
     if model.kind == "sde":
@@ -614,7 +623,7 @@ def _approx_chain(model: Model, n_iter, burnin, thin, target, gamma,
             spec = model.build(theta)
             ll, _ = ops.approx_eval(spec, key)
             return ll, ll, key
-    else:
+    elif scan_modes:
         # aux carries the converged Laplace mode of the CURRENT state so it
         # is stored per accepted draw for the IS correction (it is NOT fed
         # back into the next evaluation — cold start, see _family_ops)
@@ -622,11 +631,24 @@ def _approx_chain(model: Model, n_iter, burnin, thin, target, gamma,
             spec = model.build(theta)
             ll, mode = ops.approx_eval(spec, key)
             return ll, ll, mode
+    else:
+        # store_modes=False: skip the (S, n) per-chain mode stack — at
+        # n ~ 1000 x 2048 chains it is the HBM wall (ZOO_r04 exchange
+        # note).  The correction recomputes the (identical) cold-started
+        # approximation from theta; aux shrinks to one element.
+        def logdens(theta, key, aux):
+            spec = model.build(theta)
+            ll, _ = ops.approx_eval(spec, key)
+            return ll, ll, aux
 
     def chain(key, theta0, S0):
         spec0 = model.build(theta0)
-        aux0 = jax.random.PRNGKey(0) if model.kind == "sde" \
-            else ops.mode0(spec0)
+        if model.kind == "sde":
+            aux0 = jax.random.PRNGKey(0)
+        elif scan_modes:
+            aux0 = ops.mode0(spec0)
+        else:
+            aux0 = jnp.zeros((1,), theta0.dtype)
         final, thetas, lps, lls, accepted, modes = _ram_scan(
             logdens, model.log_prior, theta0, S0, key, n_iter, burnin,
             target, gamma, end_ram, aux0=aux0)
@@ -725,7 +747,12 @@ def _make_correct_one(model: Model, nsim, sampling_method,
             # route through the fused RTS + psi Pallas kernels under vmap
             from .approx import ApproxLoglik, approximate_for_is
             from . import approx as _amod
-            ar = approximate_for_is(spec, mode_i)
+            if mode_i.shape[-1] != spec.n:
+                # store_modes=False: recompute cold (identical result —
+                # phase 1 cold-starts too; see _family_ops._al_from_mode)
+                ar = _amod.approximate(spec, conv_tol, max_iter)
+            else:
+                ar = approximate_for_is(spec, mode_i)
             sc = jnp.where(spec.obs_mask,
                            _amod.fam.scales(spec.distribution, spec.y,
                                             spec.u, spec.phi, ar.mode,
@@ -1223,9 +1250,15 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
     if mcmc_type == "gaussian":
         chain = _gaussian_chain(model, output_type=output_type, **common)
     elif mcmc_type in ("approx", "is1", "is2", "is3"):
+        # store_modes=False additionally drops the (chains, S, n) scan-time
+        # mode stack for ng IS runs (the long-series HBM wall); "approx"
+        # keeps it — its state draws replay the stored modes
+        scan_modes = (store_modes or model.kind != "ng"
+                      or mcmc_type == "approx")
         chain = _approx_chain(model, conv_tol=conv_tol, max_iter=max_iter,
                               local_approx=local_approx,
-                              coarse_nsim=coarse_nsim, **common)
+                              coarse_nsim=coarse_nsim,
+                              scan_modes=scan_modes, **common)
     elif mcmc_type == "ekf":
         if model.kind != "nlg":
             raise ValueError("mcmc_type='ekf' requires a nonlinear model")
@@ -1256,7 +1289,7 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
     ckey = ("chain", mcmc_type, iter, burnin, thin, particles,
             sampling_method, output_type, target_acceptance, gamma,
             end_adaptive_phase, conv_tol, max_iter, local_approx,
-            theta0.ndim, None if mesh is None else id(mesh))
+            store_modes, theta0.ndim, None if mesh is None else id(mesh))
     run = jit_cache.get(ckey)
     if theta0.ndim == 2:       # per-chain restart states (checkpoint resume)
         S0b = S0 if S0.ndim == 3 else jnp.broadcast_to(

@@ -2084,18 +2084,27 @@ def _psi_big_kernel(n: int, m: int, N: int, dist: int, kk: int,
     neglogN = float(-np.log(N))
 
     if not stream:
-        pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+        # Mosaic caps prng_seed at 2 values: fold the grid block id into
+        # the second word (Knuth multiplicative hash) so blocks decorrelate
+        blk_mix = seed_ref[1] ^ (pl.program_id(0) * np.int32(-1640531527))
+        pltpu.prng_seed(seed_ref[0], blk_mix)
 
     phi = phi_ref[pl.ds(0, 1), :]
     zrow = [z_ref[pl.ds(i, 1), :] for i in range(m)]
-    rio = jax.lax.broadcasted_iota(f32, (N, LANES), 0)
-    last_row = rio == (N - 1)
-    Ulow = (jax.lax.broadcasted_iota(f32, (N, N), 1)
-            <= jax.lax.broadcasted_iota(f32, (N, N), 0)).astype(f32)
+    # Mosaic iota must be integer-typed; convert after
+    rio_i = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 0)
+    rio = rio_i.astype(f32)
+    last_row = rio_i == (N - 1)
+    Ulow = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+            <= jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)).astype(f32)
 
     def rand_u01(shape):
-        bits = pltpu.prng_random_bits(shape)
-        return ((bits >> 8).astype(f32) + 0.5) * (1.0 / (1 << 24))
+        # prng_random_bits returns int32 on TPU: bitcast to uint32 so the
+        # shift is logical (negative bits gave u < 0), then back to int32
+        # (fits in 24 bits) because Mosaic lacks a uint32->f32 cast
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        b24 = pltpu.bitcast(bits >> 8, jnp.int32)
+        return (b24.astype(f32) + 0.5) * (1.0 / (1 << 24))
 
     def draw_normals(s):
         if stream:

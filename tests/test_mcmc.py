@@ -156,3 +156,36 @@ def test_local_approx_false_global_approximation(rng):
     assert np.all(np.isfinite(o_glob.posterior))
     assert np.all(o_glob.flat_weights() > 0)
     np.testing.assert_allclose(wmean(o_loc), wmean(o_glob), atol=0.12)
+
+
+def test_store_modes_false_matches(rng):
+    """run_mcmc(store_modes=False) drops the (chains, S, n) Laplace-mode
+    stack (the long-series HBM wall, ZOO_r04 exchange note) and recomputes
+    modes cold in the correction — identical chains, log-weights equal to
+    approximation tolerance."""
+    import jax.numpy as jnp
+    y = rng.poisson(np.exp(np.cumsum(rng.normal(0, .1, 35)))).astype(float)
+
+    def build():
+        return bsm_ng(y, sd_level=halfnormal_prior(0.1, 1),
+                      distribution="poisson", dtype=jnp.float32)
+
+    a = run_mcmc(build(), iter=200, particles=10, mcmc_type="is2",
+                 n_chains=2, output_type="theta", seed=5, store_modes=True)
+    b = run_mcmc(build(), iter=200, particles=10, mcmc_type="is2",
+                 n_chains=2, output_type="theta", seed=5, store_modes=False)
+    np.testing.assert_array_equal(np.asarray(a.theta), np.asarray(b.theta))
+    # log-weights agree to psi-filter MC tolerance: the recomputed
+    # approximation differs by ~conv_tol, which can flip individual
+    # stratified-resampling selections inside the psi filter — per-slot
+    # differences are bounded by the estimator's MC noise, and the mean
+    # correction must agree tightly
+    d = np.asarray(a.posterior) - np.asarray(b.posterior)
+    assert np.abs(d).max() < 1.0
+    assert abs(d.mean()) < 0.02
+    assert b.modes is None
+    # summary output exercises the ops.psi mode-recompute path
+    c = run_mcmc(build(), iter=150, particles=10, mcmc_type="is2",
+                 n_chains=2, output_type="summary", seed=5,
+                 store_modes=False)
+    assert np.all(np.isfinite(np.asarray(c.alphahat)))
