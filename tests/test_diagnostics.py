@@ -199,3 +199,29 @@ def test_phase_timer_and_profile_trace():
     with profile_trace(None):       # no-op path
         x = 1
     assert x == 1
+
+
+def test_suggest_N_behavioral(rng):
+    """suggest_N's chosen N must actually achieve sd(log-weight at the
+    MAP) < 1 while clearly-smaller N fails it
+    (`/root/reference/R/post_correction.R:85-151`).  A noisy model (BSF on
+    wiggly Poisson data) makes small N insufficient."""
+    from bssm_tpu.core.priors import halfnormal_prior
+    from bssm_tpu.models.bsm import bsm_ng
+    y = rng.poisson(np.exp(1.5 * np.sin(np.arange(70) / 3.0)
+                           + rng.normal(0, 0.4, 70))).astype(float)
+    model = bsm_ng(y, sd_level=halfnormal_prior(0.3, 1.0),
+                   distribution="poisson")
+    res = suggest_N(model, candidates=(2, 10, 40, 160, 640),
+                    replications=60, sampling_method="bsf")
+    # the criterion holds at the chosen N ...
+    assert res["sd"] < 1.0
+    # ... and the recorded sweep shows smaller candidates failing it
+    smaller = [v for k, v in res["all"].items() if k < res["N"]]
+    assert smaller, "sweep chose the smallest candidate; not a behavioral test"
+    assert all(v >= 1.0 for v in smaller), res
+    # psi needs far fewer particles than bsf on the same model
+    res_psi = suggest_N(model, candidates=(2, 10, 40, 160, 640),
+                        replications=60, sampling_method="psi")
+    assert res_psi["N"] <= res["N"]
+    assert res_psi["sd"] < 1.0

@@ -162,3 +162,42 @@ def test_bsm_ng_seasonal_noise_T_quirk(rng):
     assert R[m - 1, -1] > 0 and np.all(R[m - 1, :-1] == 0)
     ll = float(approx_mod.approx_loglik(spec).loglik)
     assert np.isfinite(ll)
+
+
+def test_bsm_ng_seasonal12_dense_oracle_and_recovery(rng):
+    """Period-12 seasonal bsm_ng (m = 13, beyond every fused-kernel
+    envelope: full scan tier).  (a) The Laplace approximation's Gaussian
+    model must agree with the exact dense-conditioning oracle at m = 13
+    (`/root/reference/R/models.R:926` headline component); (b) the
+    smoothed seasonal state must recover the injected monthly pattern."""
+    from test_kalman import oracle_conditional
+    from bssm_tpu.models.bsm import bsm_ng
+    period = 12
+    n = 96
+    seas_true = 0.8 * np.sin(2 * np.pi * np.arange(period) / period)
+    lam = np.exp(1.2 + np.tile(seas_true, n // period))
+    y = rng.poisson(lam).astype(float)
+    y[10] = np.nan
+    model = bsm_ng(y, sd_level=halfnormal_prior(0.02, 0.2),
+                   sd_seasonal=halfnormal_prior(0.02, 0.2),
+                   period=period, distribution="poisson")
+    spec = model.build(model.theta_init)
+    assert spec.a1.shape[0] == 1 + (period - 1)    # level + 11 seasonal
+    al = approx_mod.approx_loglik(spec)
+    g = al.approx.gaussian(spec)
+
+    mean, cov, ll = oracle_conditional(g)
+    sm = kalman.smoother(g)
+    np.testing.assert_allclose(float(kalman.log_likelihood(g)), ll,
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(sm.alphahat).reshape(-1),
+                               mean, atol=1e-6)
+    m = spec.a1.shape[0]
+    cov4 = cov.reshape(g.n + 1, m, g.n + 1, m)
+    marg = np.stack([cov4[t, :, t, :] for t in range(g.n + 1)])
+    np.testing.assert_allclose(np.asarray(sm.Vt), marg, atol=1e-6)
+
+    # (b) smoothed seasonal component tracks the injected pattern
+    seas_hat = np.asarray(sm.alphahat)[period:2 * period, 1]
+    err = np.abs(seas_hat - seas_true)
+    assert err.mean() < 0.25, (seas_hat, seas_true)
