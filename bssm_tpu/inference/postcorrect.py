@@ -28,10 +28,14 @@ def post_correct(model: Model, output: McmcOutput, particles: int,
                  sampling_method: str = "psi", is_type: int = 2,
                  seed: int = 1, mesh=None, corr_batch: int = 256,
                  output_type: str = "full", key=None) -> McmcOutput:
-    """IS-correct a stored approximate run (returns a new output)."""
-    if output.modes is None:
-        raise ValueError("post_correct needs a run with stored modes "
-                         "(mcmc_type='approx' or 'is*')")
+    """IS-correct a stored approximate run (returns a new output).
+
+    Runs saved with ``store_modes=False`` (no Laplace-mode stack) are
+    corrected by recomputing the approximation cold per head — identical
+    statistics, since phase 1 cold-starts every evaluation too."""
+    if output.modes is None and model.kind != "ng":
+        raise ValueError("post_correct needs a run with stored modes for "
+                         f"model kind {model.kind!r}")
     import copy
     import time as _time
     t0 = _time.time()
@@ -44,7 +48,12 @@ def post_correct(model: Model, output: McmcOutput, particles: int,
         th = jnp.asarray(output.theta.reshape(C * Sn, -1))
         th = jax.vmap(lambda x: _to_sampled(model, x))(th)
         th = th.reshape((C, Sn) + th.shape[1:])
-    modes = jnp.asarray(output.modes)
+    if output.modes is None:
+        # shape (C, Sn, 1) != (C, Sn, n) flags the recompute path in
+        # _make_correct_one / _family_ops._al_from_mode
+        modes = jnp.zeros((C, Sn, 1), th.dtype)
+    else:
+        modes = jnp.asarray(output.modes)
     accepted = jnp.asarray(output.accepted).astype(bool)
     approx_ll = (jnp.asarray(output.approx_loglik)
                  if output.approx_loglik is not None

@@ -225,3 +225,28 @@ def test_suggest_N_behavioral(rng):
                         replications=60, sampling_method="psi")
     assert res_psi["N"] <= res["N"]
     assert res_psi["sd"] < 1.0
+
+
+def test_post_correct_without_stored_modes(rng):
+    """post_correct upgrades a store_modes=False approx run by recomputing
+    the Laplace approximation cold per head (r5: the memory-wall path)."""
+    from bssm_tpu.core.priors import halfnormal_prior
+    from bssm_tpu.models.bsm import bsm_ng
+    y = rng.poisson(np.exp(np.cumsum(rng.normal(0, .1, 30)))).astype(float)
+    model = bsm_ng(y, sd_level=halfnormal_prior(0.1, 1.0),
+                   distribution="poisson")
+    out = run_mcmc(model, iter=200, mcmc_type="approx", n_chains=2,
+                   seed=5, output_type="theta", store_modes=False)
+    assert out.modes is None
+    cor = post_correct(model, out, particles=10, seed=2,
+                       output_type="summary")
+    assert cor.weights is not None
+    assert np.all(np.isfinite(np.asarray(cor.posterior)))
+    # statistics match a run with stored modes
+    out2 = run_mcmc(model, iter=200, mcmc_type="approx", n_chains=2,
+                    seed=5, output_type="theta", store_modes=True)
+    cor2 = post_correct(model, out2, particles=10, seed=2,
+                        output_type="summary")
+    w1 = np.average(cor.flat_theta(), axis=0, weights=cor.flat_weights())
+    w2 = np.average(cor2.flat_theta(), axis=0, weights=cor2.flat_weights())
+    np.testing.assert_allclose(w1, w2, atol=0.05)
