@@ -2182,15 +2182,21 @@ def _psi_big_kernel(n: int, m: int, N: int, dist: int, kk: int,
             rolled = pltpu.roll(alpha[i], N - 1, 0)     # shift-up by one
             dal.append(alpha[i] - jnp.where(last_row, 0.0, rolled))
 
-        def pbody(p, tok):
-            up = u_ref[pl.ds(p, 1), :]
-            ge = (cum >= up).astype(f32)
+        # 8 output particles per iteration: amortizes loop/address
+        # overhead 8x and writes full (8, 128) tiles (measured ~2x on the
+        # true kernel time vs one-p-per-iteration); N % 8 == 0 guaranteed
+        # by _supported_psi_big
+        def pbody(pb, tok):
+            up = u_ref[pl.ds(pb * 8, 8), :]
             for i in range(m):
-                anc_ref[pl.ds(i * N + p, 1), :] = jnp.sum(
-                    ge * dal[i], axis=0, keepdims=True)
+                rows = [jnp.sum((cum >= up[so:so + 1]).astype(f32)
+                                * dal[i], axis=0, keepdims=True)
+                        for so in range(8)]
+                anc_ref[pl.ds(i * N + pb * 8, 8), :] = jnp.concatenate(
+                    rows, axis=0)
             return tok
 
-        jax.lax.fori_loop(0, N, pbody, 0)
+        jax.lax.fori_loop(0, N // 8, pbody, 0)
         return tuple(anc_ref[pl.ds(i * N, N), :] for i in range(m))
 
     # step 0: draw alpha_n from N(ahat_n, L_n L_n') — no observation
