@@ -762,6 +762,10 @@ def _make_correct_one(model: Model, nsim, sampling_method,
             return {"log_w": pf_mod.psi_logw(
                 spec, al, nsim, k_pf,
                 resample_every=psi_resample_every)}
+        if sampling_method == "bsf" and logw_only and model.kind == "ng":
+            # _is_finish subtracts the stored approx_ll from this
+            return {"log_w": pf_mod.bsf_logw(
+                spec, nsim, k_pf, resample_every=psi_resample_every)}
         if sampling_method == "psi":
             log_w, traced, final_w = ops.psi(spec, mode_i, nsim, k_pf)
         elif sampling_method == "bsf":
@@ -1011,6 +1015,12 @@ def _pf_loglik(model: Model, theta, key, nsim, sampling_method, conv_tol,
     spec = model.build(theta)
     k_pf, k_draw = jax.random.split(key)
     if sampling_method == "bsf":
+        if not need_states and model.kind == "ng":
+            # log-lik-only BSF routes through the large-N kernel under
+            # vmap (the reference benchmarks run bsf with 200 particles)
+            ll = pf_mod.bsf_logw(spec, nsim, k_pf)
+            dummy = jnp.zeros((spec.n + 1, spec.m), spec.y.dtype)
+            return ll, ll, dummy
         ll, traced, final_w = ops.bsf(spec, nsim, k_pf)
         idx = jax.random.categorical(k_draw, jnp.log(final_w + 1e-300))
         return ll, ll, traced[idx]
@@ -1202,12 +1212,13 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
     proposal instead of the full Laplace iteration,
     `/root/reference/R/run_mcmc.R:75,434-436`).
 
-    psi_resample_every: stratified-resample period of the IS-correction
-    psi-APF at particle counts > 32 (large-N tier only; theta/logw output).
-    1 (default) = every step, matching the reference exactly; k > 1 skips
-    the selection pass on all but every k-th step — a fixed schedule keeps
-    the likelihood-ratio estimator unbiased (standard adaptive-SMC) while
-    removing the dominant large-N cost.  Check ESS_IS when raising it.
+    psi_resample_every: stratified-resample period of the log-weight-only
+    particle filters (psi-APF and BSF) at particle counts > 32 (large-N
+    kernel tier; theta/logw output).  1 (default) = every step, matching
+    the reference exactly; k > 1 skips the selection pass on all but
+    every k-th step — a fixed schedule keeps the likelihood-ratio
+    estimator unbiased (standard adaptive-SMC) while removing the
+    dominant large-N cost.  Check ESS_IS when raising it.
     """
     import time as _time
     t0 = _time.time()

@@ -467,3 +467,99 @@ def spdk_sample(spec: NGSpec, al: ApproxLoglik, nsim: int, key,
     we = jnp.exp(w - mx)
     loglik = al.loglik + jnp.log(jnp.mean(we)) + mx
     return SPDKResult(loglik, alpha, we / jnp.sum(we))
+
+
+def bsf_logw(spec: NGSpec, nsim: int, key,
+             resample_every: int = 1) -> jnp.ndarray:
+    """Bootstrap-filter log-likelihood ONLY (no trajectories) — the
+    pm/da/is-bsf inner quantity when states aren't requested
+    (`/root/reference/src/model_ssm_ung.cpp:611-712`).  Particle counts in
+    (32, 512] route through the particles-in-sublanes Pallas kernel with
+    in-kernel PRNG under vmap (the reference's own benchmark grid runs
+    BSF with 200 particles); otherwise a per-step-RNG scan."""
+    from ..ops.pallas_kalman import (_MAX_N_PSI, _bsf_big_auto,
+                                     _supported_psi_big)
+    const = fam.obs_log_const(spec.distribution, spec.y, spec.u, spec.phi)
+    if nsim > _MAX_N_PSI and _supported_psi_big(spec.n - 1, spec.m, nsim):
+        seeds = key
+        if jnp.issubdtype(seeds.dtype, jax.dtypes.prng_key):
+            seeds = jax.random.key_data(seeds)
+        big = _bsf_big_auto(nsim, int(resample_every))
+        return big(spec, seeds) + const
+    return _bsf_logw_keyed(spec, nsim, key,
+                           resample_every=resample_every) + const
+
+
+def _bsf_logw_keyed(spec: NGSpec, nsim: int, key,
+                    resample_every: int = 1) -> jnp.ndarray:
+    """``bsf_filter``'s log-likelihood minus trajectory storage and minus
+    the observation constants; at resample_every=1,
+    `_bsf_logw_keyed(...) + obs_log_const == bsf_filter(...).loglik`
+    holds identically (same RNG stream)."""
+    n, m = spec.n, spec.m
+    dt = spec.y.dtype
+
+    Zb, Db = _bc(spec.Z, n), _bc(spec.D.astype(dt), n)
+    Tb, Cb = _bc(spec.T, n), _bc(spec.C, n)
+    Rb = _bc(spec.R, n)
+
+    key, k0 = jax.random.split(key)
+    alpha0 = _prior_particles(spec.a1, spec.P1, nsim, k0, dt)
+
+    def dens_at(alpha_p, y_t, u_t, Z_t, D_t):
+        s = _signals(spec, alpha_p, Z_t, D_t)
+        return fam.log_obs_density(spec.distribution, y_t, u_t, spec.phi, s)
+
+    y0ok = jnp.isfinite(spec.y[0])
+    lw0 = dens_at(alpha0, spec.y[0], spec.u[0], Zb[0], Db[0])
+    inc0, nw0 = _lse_update(jnp.where(y0ok, lw0, 0.0), nsim, dt)
+    loglik0 = jnp.where(y0ok, inc0, 0.0)
+    nw0 = jnp.where(y0ok, nw0, jnp.ones((nsim,), dt) / nsim)
+
+    pad_nan = jnp.full((1,), jnp.nan, dt)
+    y_next = jnp.concatenate([spec.y[1:], pad_nan])
+    u_next = jnp.concatenate([spec.u[1:], jnp.ones((1,), dt)])
+    Z_next = jnp.concatenate([Zb[1:], Zb[-1:]])
+    D_next = jnp.concatenate([Db[1:], Db[-1:]])
+
+    keys = jax.random.split(key, n)
+    from ..ops.resample import stratified_gather
+    kk = int(resample_every)
+    do_rs = (jnp.arange(n) % kk) == 0
+    unif = jnp.ones((nsim,), dt) / nsim
+
+    def step(carry, xs):
+        alpha_t, nw, ll = carry
+        kt, do, T_t, C_t, R_t, y_n, u_n, Z_n, D_n = xs
+        kr, kp = jax.random.split(kt)
+        anc_rs = stratified_gather(nw, kr, alpha_t)
+        anc = jnp.where(do, anc_rs, alpha_t) if kk > 1 else anc_rs
+        nw_eff = jnp.where(do, unif, nw) if kk > 1 else unif
+        eta = jax.random.normal(kp, (nsim, R_t.shape[1]), dt)
+        alpha_next = C_t + anc @ T_t.T + eta @ R_t.T
+        ok = jnp.isfinite(y_n)
+        lw = dens_at(alpha_next, y_n, u_n, Z_n, D_n)
+        if kk == 1:
+            inc, nw_new = _lse_update(jnp.where(ok, lw, 0.0), nsim, dt)
+            ll = ll + jnp.where(ok, inc, 0.0)
+            nw_new = jnp.where(ok, nw_new, unif)
+        else:
+            lw = jnp.where(ok, lw, 0.0)
+            lt = jnp.log(nw_eff) + jnp.where(jnp.isfinite(lw), lw,
+                                             -jnp.inf)
+            mx = jnp.max(lt)
+            mx_ok = jnp.isfinite(mx)
+            mxs = jnp.where(mx_ok, mx, 0.0)
+            w = jnp.where(jnp.isfinite(lt), jnp.exp(lt - mxs), 0.0)
+            sw = jnp.sum(w)
+            ok2 = (sw > 0) & mx_ok
+            inc = jnp.where(ok2, mxs + jnp.log(jnp.maximum(sw, 1e-35)),
+                            -jnp.inf)
+            ll = ll + jnp.where(ok, inc, 0.0)
+            nw_new = jnp.where(ok2, w / jnp.maximum(sw, 1e-35), nw_eff)
+            nw_new = jnp.where(ok, nw_new, nw_eff)
+        return (alpha_next, nw_new, ll), None
+
+    xs = (keys, do_rs, Tb, Cb, Rb, y_next, u_next, Z_next, D_next)
+    (_, _, loglik), _ = jax.lax.scan(step, (alpha0, nw0, loglik0), xs)
+    return loglik

@@ -2065,14 +2065,28 @@ def _supported_psi_big(n: int, m: int, N: int) -> bool:
 
 
 def _psi_big_kernel(n: int, m: int, N: int, dist: int, kk: int,
-                    stream: bool, z_ref, phi_ref, obs_ref, fac_ref,
-                    seed_ref, eps_ref, us_ref, logw_ref, anc_ref, u_ref):
-    """Large-N psi-APF log-weight; one grid block = 128 draws x N particles.
+                    stream: bool, bsf: bool, z_ref, phi_ref, obs_ref,
+                    fac_ref, seed_ref, eps_ref, us_ref, logw_ref, anc_ref,
+                    u_ref):
+    """Large-N psi-APF / BSF log-weight; one grid block = 128 draws x N
+    particles.
 
-    Row layouts match `_psi_kernel` (generation order, step s holds state
-    t = n - s; obs row 0 is the NaN pad for the obs-free alpha_n draw):
+    psi mode — row layouts match `_psi_kernel` (generation order, step s
+    holds state t = n - s; obs row 0 is the NaN pad for the obs-free
+    alpha_n draw):
       obs row s*6 + k:  [ytilde, Htilde, y, u, scales, D][k]
       fac row s*F + j:  [ahat (m), Lcond (mm), Acond (mm)], F = m + 2mm
+
+    bsf=True reuses the identical machinery for the bootstrap filter
+    (`/root/reference/src/model_ssm_ung.cpp:611-712`): rows run FORWARD
+    in time (n := number of obs - 1); obs rows carry [NaN, 1, y, u, 0, D]
+    so `_lane_log_weight` reduces to the plain observation density;
+    fac row 0 = [a1, chol(P1), 0] and rows s >= 1 = [C, R, T]; the
+    carried ah_prev is pinned to 0 so the propagation
+    ah + A(anc - 0) + L eps IS C + T anc + R eps; the initial ensemble is
+    weighted against obs row 0 (the reference weights y_0 before any
+    resampling).
+
     stream mode:  eps row s*N*m + j*N + p;  us row s*N + p (row block 0
     unused — uniforms are consumed at the step that resamples).
     """
@@ -2199,7 +2213,8 @@ def _psi_big_kernel(n: int, m: int, N: int, dist: int, kk: int,
         jax.lax.fori_loop(0, N // 8, pbody, 0)
         return tuple(anc_ref[pl.ds(i * N, N), :] for i in range(m))
 
-    # step 0: draw alpha_n from N(ahat_n, L_n L_n') — no observation
+    # step 0: draw the initial ensemble — psi: alpha_n ~ N(ahat_n, L L')
+    # with no observation; bsf: alpha_0 ~ N(a1, P1) weighted against y_0
     eps0 = draw_normals(0)
     ah0 = [fac_ref[pl.ds(i, 1), :] for i in range(m)]
     L0 = [fac_ref[pl.ds(m + ij, 1), :] for ij in range(mm)]
@@ -2211,6 +2226,11 @@ def _psi_big_kernel(n: int, m: int, N: int, dist: int, kk: int,
         alpha.append(acc)
     lnw0 = jnp.full((N, LANES), neglogN, f32)
     ll0 = jnp.zeros((1, LANES), f32)
+    if bsf:
+        lnw0, ll0 = weight(0, tuple(alpha), lnw0, ll0)
+        ahp0 = tuple(jnp.zeros((1, LANES), f32) for _ in range(m))
+    else:
+        ahp0 = tuple(ah0)
 
     nseg = -(-n // kk)
 
@@ -2219,11 +2239,15 @@ def _psi_big_kernel(n: int, m: int, N: int, dist: int, kk: int,
         s0 = 1 + seg * kk
         anc = resample(s0, alpha, lnw)
         alpha, aht = propagate(s0, anc, ahp)
+        if bsf:
+            aht = ahp                    # stays the zero tuple
         lnw, ll = weight(s0, alpha, jnp.full((N, LANES), neglogN, f32), ll)
 
         def inner(s, c):
             al_, lnw_, ll_, ahp_ = c
             al2, aht2 = propagate(s, al_, ahp_)
+            if bsf:
+                aht2 = ahp_
             lnw2, ll2 = weight(s, al2, lnw_, ll_)
             return (al2, lnw2, ll2, aht2)
 
@@ -2231,7 +2255,7 @@ def _psi_big_kernel(n: int, m: int, N: int, dist: int, kk: int,
         return jax.lax.fori_loop(s0 + 1, hi, inner, (alpha, lnw, ll, aht))
 
     carry = jax.lax.fori_loop(0, nseg, seg_body,
-                              (tuple(alpha), lnw0, ll0, tuple(ah0)))
+                              (tuple(alpha), lnw0, ll0, ahp0))
     logw_ref[...] = carry[2]
 
 
@@ -2277,7 +2301,8 @@ def _fused_psi_big_call(yt, ht, y, u, sc, d, z, phi, ahat, lc, ac, seeds,
     in_specs = [spec(m), spec(1), spec((n + 1) * 6), spec((n + 1) * F),
                 pl.BlockSpec(memory_space=pltpu.SMEM), eps_spec, us_spec]
     logw = pl.pallas_call(
-        functools.partial(_psi_big_kernel, n, m, N, dist, kk, stream),
+        functools.partial(_psi_big_kernel, n, m, N, dist, kk, stream,
+                          False),
         grid=grid,
         in_specs=in_specs,
         out_specs=spec(1),
@@ -2402,3 +2427,186 @@ def _psi_big_auto(nsim: int, kk: int):
         return out, True
 
     return psi_big
+
+
+# ---------------------------------------------------------------------------
+# large-N bootstrap-filter tier (shares _psi_big_kernel via bsf=True)
+# ---------------------------------------------------------------------------
+# The reference's Table-1 grid runs the bootstrap filter with 200
+# particles (`/root/reference/benchmarks/replications.Rmd:27-78`) — the
+# pm/da-bsf and is-bsf paths previously fell to the scan tier above
+# N = 32.  Same layout and machinery as the psi tier; only the row
+# CONTENT differs (see the kernel docstring).
+
+@functools.partial(jax.jit, static_argnames=("n_obs", "m", "N", "dist",
+                                             "kk", "stream", "interpret"))
+def _fused_bsf_big_call(y, u, d, z, phi, a1, L1, Cv, Rm, Tm, seeds,
+                        eps, us, *, n_obs, m, N, dist, kk, stream=False,
+                        interpret=False):
+    """Dispatch the large-N BSF kernel.  y/u/d (Cn, n_obs); z (Cn, m);
+    a1 (Cn, m); L1 = chol(P1) (Cn, m, m); Cv (Cn, m); Rm/Tm (Cn, m, m)
+    (R zero-padded to m columns).  Steps = n_obs, forward time order."""
+    Cn = y.shape[0]
+    dt = y.dtype
+    mm = m * m
+    F = m + 2 * mm
+    n = n_obs - 1                      # kernel steps after the initial draw
+    lanes_last, spec, out_sd, unpack, scratch_t = _tiles(Cn, 1, dt)
+
+    nanc = jnp.full((Cn, n_obs), jnp.nan, dt)
+    onec = jnp.ones((Cn, n_obs), dt)
+    zeroc = jnp.zeros((Cn, n_obs), dt)
+    obs = jnp.stack([nanc, onec, y, u, zeroc, d], axis=2)   # (Cn, n_obs, 6)
+    fac0 = jnp.concatenate([a1, L1.reshape(Cn, mm),
+                            jnp.zeros((Cn, mm), dt)], axis=1)[:, None]
+    fac_s = jnp.concatenate([Cv, Rm.reshape(Cn, mm),
+                             Tm.reshape(Cn, mm)], axis=1)[:, None]
+    fac = jnp.concatenate([fac0, jnp.broadcast_to(
+        fac_s, (Cn, n_obs - 1, F))], axis=1)                # (Cn, n_obs, F)
+
+    if stream:
+        eps_rows = lanes_last(eps.reshape(Cn, n_obs * N * m),
+                              n_obs * N * m)
+        us_rows = lanes_last(us.reshape(Cn, n_obs * N), n_obs * N)
+        eps_spec, us_spec = spec(n_obs * N * m), spec(n_obs * N)
+    else:
+        eps_rows = jnp.zeros((8, Cn), dt)
+        us_rows = jnp.zeros((8, Cn), dt)
+        eps_spec, us_spec = spec(8), spec(8)
+
+    args = (lanes_last(z, m), lanes_last(phi, 1),
+            lanes_last(obs.reshape(Cn, n_obs * 6), n_obs * 6),
+            lanes_last(fac.reshape(Cn, n_obs * F), n_obs * F),
+            seeds, eps_rows, us_rows)
+    grid = (Cn // LANES,)
+    in_specs = [spec(m), spec(1), spec(n_obs * 6), spec(n_obs * F),
+                pl.BlockSpec(memory_space=pltpu.SMEM), eps_spec, us_spec]
+    logw = pl.pallas_call(
+        functools.partial(_psi_big_kernel, n, m, N, dist, kk, stream,
+                          True),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=spec(1),
+        out_shape=out_sd(1),
+        scratch_shapes=[scratch_t(m * N), scratch_t(N)],
+        interpret=interpret,
+    )(*args)
+    return logw.reshape(Cn)
+
+
+def _bsf_big_prep(spec, axis_size):
+    """Dense chain-batched BSF system arrays, or None if unsupported
+    (time-varying system, m > 4, non-univariate family)."""
+    from ..ops.chol import psd_chol
+    n = spec.y.shape[-1]
+    m = spec.a1.shape[-1]
+    if spec.distribution not in (_SVM, _POISSON, _BINOMIAL, _NEGBIN,
+                                 _GAMMA):
+        return None
+    if (spec.Z.shape[-2] != 1 or spec.T.shape[-3] != 1
+            or spec.R.shape[-3] != 1 or spec.C.shape[-2] != 1):
+        return None
+    batched = spec.y.ndim == 2
+    B = spec.y.shape[0] if batched else axis_size
+    dt = spec.y.dtype
+
+    def dense(x, core_ndim):
+        x = jnp.asarray(x, dt)
+        if x.ndim == core_ndim:
+            x = jnp.broadcast_to(x, (B,) + x.shape)
+        return x
+
+    y = dense(spec.y, 1)
+    u = dense(spec.u, 1)
+    D = dense(spec.D, 1)
+    if D.shape[-1] == 1:
+        D = jnp.broadcast_to(D, (B, n))
+    Z = dense(spec.Z, 2)[:, 0]
+    a1 = dense(spec.a1, 1)
+    P1 = dense(spec.P1, 2)
+    L1 = jax.vmap(psd_chol)(P1)
+    Cv = dense(spec.C, 2)[:, 0]
+    T = dense(spec.T, 3)[:, 0]
+    R = dense(spec.R, 3)[:, 0]
+    k = R.shape[-1]
+    if k < m:
+        R = jnp.concatenate([R, jnp.zeros((B, m, m - k), dt)], axis=-1)
+    elif k > m:
+        return None
+    phi_arr = jnp.asarray(spec.phi, dt)
+    if phi_arr.ndim == 0:
+        phi = jnp.full((B, 1), phi_arr, dt)
+    else:
+        phi = phi_arr.reshape(B, 1)
+    return (y, u, D, Z, phi, a1, L1, Cv, R, T), B, n, m
+
+
+def fused_bsf_big_batched(spec, seeds, nsim, kk, axis_size,
+                          interpret=False):
+    """Batched large-N BSF log-likelihood (minus the observation
+    constants, added by the caller) with in-kernel PRNG, or None."""
+    n = spec.y.shape[-1]
+    m = spec.a1.shape[-1]
+    if not _supported_psi_big(n - 1, m, nsim):
+        return None
+    prep = _bsf_big_prep(spec, axis_size)
+    if prep is None:
+        return None
+    arrays, B, n, m = prep
+    seed_row = seeds[0] if seeds.ndim > 1 else seeds
+    seed2 = jax.lax.bitcast_convert_type(seed_row, jnp.int32)
+    arrays = _pad_block(list(arrays), B, 1)
+    zero = jnp.zeros((1,), arrays[0].dtype)
+    logw = _fused_bsf_big_call(*arrays, seed2, zero, zero, n_obs=n, m=m,
+                               N=nsim, dist=spec.distribution, kk=kk,
+                               stream=False, interpret=interpret)
+    return logw[:B]
+
+
+def bsf_big_logw_stream(spec, eps, us, kk, interpret=True):
+    """Stream-mode (injected randomness) large-N BSF log-likelihood for
+    parity testing: eps (B, n, m, N), us (B, n, N) (row block 0 unused).
+    Excludes the observation constants."""
+    B = eps.shape[0]
+    N = eps.shape[-1]
+    prep = _bsf_big_prep(spec, B)
+    if prep is None:
+        return None
+    arrays, B2, n, m = prep
+    assert B2 == B
+    arrays = _pad_block(list(arrays) + [eps, us], B, 1)
+    eps_p, us_p = arrays[-2], arrays[-1]
+    seed2 = jnp.zeros((2,), jnp.int32)
+    logw = _fused_bsf_big_call(*arrays[:-2], seed2, eps_p, us_p, n_obs=n,
+                               m=m, N=N, dist=spec.distribution, kk=kk,
+                               stream=True, interpret=interpret)
+    return logw[:B]
+
+
+@functools.lru_cache(maxsize=None)
+def _bsf_big_auto(nsim: int, kk: int):
+    """custom_vmap dispatcher for the large-N BSF tier."""
+
+    @jax.custom_batching.custom_vmap
+    def bsf_big(spec, seeds):
+        from ..inference.particle import _bsf_logw_keyed
+        return _bsf_logw_keyed(spec, nsim, seeds, resample_every=kk)
+
+    @bsf_big.def_vmap
+    def _vmap(axis_size, in_batched, spec, seeds):
+        from ..core import config as _config
+        from ..inference.particle import _bsf_logw_keyed
+        if _config.use_fused() and not _interpret_mode():
+            out = fused_bsf_big_batched(spec, seeds, nsim, kk, axis_size,
+                                        interpret=False)
+            if out is not None:
+                return out, True
+            _fallback_notice("bsf-big", n=spec.y.shape[-1],
+                             m=spec.a1.shape[-1], N=nsim)
+        axes = jax.tree_util.tree_map(lambda b: 0 if b else None,
+                                      tuple(in_batched))
+        out = jax.vmap(lambda s, k: _bsf_logw_keyed(
+            s, nsim, k, resample_every=kk), in_axes=axes)(spec, seeds)
+        return out, True
+
+    return bsf_big

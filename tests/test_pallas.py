@@ -650,3 +650,65 @@ def test_psi_keyed_resample_every_consistent(rng):
                                      resample_every=3)))(keys))
     se = (a.std() + b.std()) / np.sqrt(B)
     assert abs(a.mean() - b.mean()) < 5 * se + 0.02
+
+
+@pytest.mark.parametrize("kk", [1, 4])
+def test_bsf_big_unbiased_vs_scan(rng, kk):
+    """The large-N BSF kernel (stream mode) must agree with the keyed
+    scan tier within MC error — mean log-lik and log-mean-exp."""
+    from bssm_tpu.core import distributions as fam
+    from bssm_tpu.inference import particle as pf
+    from bssm_tpu.ops.pallas_kalman import bsf_big_logw_stream
+    n, B, N = 17, 256, 64
+    old = config.fused_kernels
+    try:
+        config.set_fused_kernels(True)
+        specs, als = _ng_batch(rng, n, 1, m2=True, family="poisson")
+        spec1 = jax.tree_util.tree_map(lambda a: a[0], specs)
+        specs = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[0], (B,) + a.shape[1:]), specs)
+        m = 2
+        eps = jax.random.normal(jax.random.PRNGKey(kk), (B, n, m, N),
+                                jnp.float32)
+        us = jax.random.uniform(jax.random.PRNGKey(50 + kk), (B, n, N),
+                                jnp.float32)
+        out = bsf_big_logw_stream(specs, eps, us, kk, interpret=True)
+        assert out is not None
+        const = float(fam.obs_log_const(spec1.distribution, spec1.y,
+                                        spec1.u, spec1.phi))
+        out = np.asarray(out) + const
+        keys = jax.random.split(jax.random.PRNGKey(8), B)
+        ref = np.asarray(jax.jit(jax.vmap(
+            lambda k: pf.bsf_logw(spec1, N, k)))(keys))
+        assert np.all(np.isfinite(out))
+        se = (out.std() + ref.std()) / np.sqrt(B)
+        assert abs(out.mean() - ref.mean()) < 5 * se + 0.05
+
+        def lme(x):
+            mx = x.max()
+            return mx + np.log(np.mean(np.exp(x - mx)))
+        assert abs(lme(out) - lme(ref)) < 5 * se + 0.05
+    finally:
+        config.set_fused_kernels(old)
+
+
+def test_bsf_logw_keyed_matches_bsf_filter(rng):
+    """At resample_every=1 the keyed BSF log-lik equals bsf_filter's
+    bitwise (same RNG stream), and resample_every>1 stays consistent."""
+    from bssm_tpu.core import distributions as fam
+    from bssm_tpu.inference import particle as pf
+    specs, als = _ng_batch(rng, 23, 1, m2=True, family="poisson")
+    spec1 = jax.tree_util.tree_map(lambda a: a[0], specs)
+    key = jax.random.PRNGKey(2)
+    a = float(pf.bsf_filter(spec1, 24, key).loglik)
+    const = float(fam.obs_log_const(spec1.distribution, spec1.y, spec1.u,
+                                    spec1.phi))
+    b = float(pf._bsf_logw_keyed(spec1, 24, key)) + const
+    assert abs(a - b) < 1e-4
+    keys = jax.random.split(key, 128)
+    c = np.asarray(jax.jit(jax.vmap(
+        lambda k: pf.bsf_logw(spec1, 48, k)))(keys))
+    d = np.asarray(jax.jit(jax.vmap(
+        lambda k: pf.bsf_logw(spec1, 48, k, resample_every=3)))(keys))
+    se = (c.std() + d.std()) / np.sqrt(128)
+    assert abs(c.mean() - d.mean()) < 5 * se + 0.05
