@@ -1263,9 +1263,11 @@ def run_mcmc(model: Model, iter: int = 2000, *, burnin: Optional[int] = None,
     elif mcmc_type in ("approx", "is1", "is2", "is3"):
         # store_modes=False additionally drops the (chains, S, n) scan-time
         # mode stack for ng IS runs (the long-series HBM wall); "approx"
-        # keeps it — its state draws replay the stored modes
+        # keeps it (its state draws replay the stored modes), and so does
+        # local_approx=False — the cold recompute would rebuild the LOCAL
+        # approximation, mismatching the stored global-approx density
         scan_modes = (store_modes or model.kind != "ng"
-                      or mcmc_type == "approx")
+                      or mcmc_type == "approx" or not local_approx)
         chain = _approx_chain(model, conv_tol=conv_tol, max_iter=max_iter,
                               local_approx=local_approx,
                               coarse_nsim=coarse_nsim,

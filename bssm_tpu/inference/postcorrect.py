@@ -32,7 +32,9 @@ def post_correct(model: Model, output: McmcOutput, particles: int,
 
     Runs saved with ``store_modes=False`` (no Laplace-mode stack) are
     corrected by recomputing the approximation cold per head — identical
-    statistics, since phase 1 cold-starts every evaluation too."""
+    statistics, since phase 1 cold-starts every evaluation too.  (Only
+    valid for local_approx runs: the recompute rebuilds the LOCAL
+    approximation; global-approx runs keep their modes.)"""
     if output.modes is None and model.kind != "ng":
         raise ValueError("post_correct needs a run with stored modes for "
                          f"model kind {model.kind!r}")
