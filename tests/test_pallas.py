@@ -712,3 +712,139 @@ def test_bsf_logw_keyed_matches_bsf_filter(rng):
         lambda k: pf.bsf_logw(spec1, 48, k, resample_every=3)))(keys))
     se = (c.std() + d.std()) / np.sqrt(128)
     assert abs(c.mean() - d.mean()) < 5 * se + 0.05
+
+
+def _bsf_mirror(specs, eps, us, kk, B, N):
+    """Straight-line jnp mirror of `_psi_big_kernel(bsf=True)` — locks the
+    BSF-specific row construction (a1/chol P1 init, C/R/T rows, step-0
+    weighting, zero ah_prev) bit-for-bit."""
+    from bssm_tpu.ops.chol import psd_chol
+    from bssm_tpu.ops.pallas_kalman import _lane_log_weight
+    f32 = jnp.float32
+    n = specs.y.shape[-1]
+    m = specs.a1.shape[-1]
+    dist = int(specs.distribution)
+
+    def bc(x):
+        return np.broadcast_to(np.asarray(x), (B, n)).astype(np.float32)
+    yB, uB, dB = bc(specs.y), bc(specs.u), bc(specs.D)
+    ZT = jnp.asarray(np.asarray(specs.Z)[:, 0].T, f32)         # (m, B)
+    phiT = jnp.asarray(np.broadcast_to(
+        np.asarray(specs.phi).reshape(-1, 1), (B, 1)).T.astype(np.float32))
+    a1 = jnp.asarray(np.asarray(specs.a1).T, f32)              # (m, B)
+    L1 = np.asarray(jax.vmap(psd_chol)(jnp.asarray(specs.P1, f32)))
+    L1T = jnp.asarray(np.moveaxis(L1, 0, -1), f32)             # (m, m, B)
+    Cv = jnp.asarray(np.asarray(specs.C)[:, 0].T, f32)         # (m, B)
+    T = jnp.asarray(np.moveaxis(np.asarray(specs.T)[:, 0], 0, -1), f32)
+    R = np.asarray(specs.R)[:, 0]
+    k = R.shape[-1]
+    if k < m:
+        R = np.concatenate([R, np.zeros((B, m, m - k), np.float32)], -1)
+    R = jnp.asarray(np.moveaxis(R, 0, -1), f32)                # (m, m, B)
+    epsT = jnp.moveaxis(eps, 0, -1)                            # (n, m, N, B)
+    usT = jnp.moveaxis(us, 0, -1)                              # (n, N, B)
+    yT = jnp.asarray(yB.T)                                     # (n, B)... 
+    yT = jnp.moveaxis(jnp.asarray(yB), 0, -1)
+    uT = jnp.moveaxis(jnp.asarray(uB), 0, -1)
+    dT = jnp.moveaxis(jnp.asarray(dB), 0, -1)
+
+    neglogN = float(-np.log(N))
+    rio = jax.lax.broadcasted_iota(f32, (N, B), 0)
+    last_row = rio == (N - 1)
+    Ulow = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+            <= jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)).astype(f32)
+
+    def weight(s, alpha, lnw, ll):
+        yv, uv, dv = yT[s][None, :], uT[s][None, :], dT[s][None, :]
+        if dist == 0:
+            sig = alpha[0]
+        else:
+            sig = dv
+            for i in range(m):
+                sig = sig + ZT[i][None, :] * alpha[i]
+        nanrow = jnp.full_like(yv, jnp.nan)
+        lw = _lane_log_weight(dist, yv, uv, phiT, sig, nanrow,
+                              jnp.ones_like(yv))
+        oky = jnp.isfinite(yv)
+        lw = jnp.where(oky, lw, 0.0)
+        lt = jnp.where(jnp.isfinite(lnw + lw), lnw + lw, -jnp.inf)
+        mx = jnp.max(lt, axis=0, keepdims=True)
+        mx_ok = jnp.isfinite(mx)
+        mxs = jnp.where(mx_ok, mx, 0.0)
+        w = jnp.where(jnp.isfinite(lt), jnp.exp(lt - mxs), 0.0)
+        sw = jnp.sum(w, axis=0, keepdims=True)
+        ok2 = (sw > 0) & mx_ok
+        inc = jnp.where(ok2, mxs + jnp.log(jnp.maximum(sw, 1e-35)),
+                        -jnp.inf)
+        ll = ll + jnp.where(oky, inc, 0.0)
+        return jnp.where(ok2, lt - inc, neglogN), ll
+
+    def propagate(s, anc):
+        out = []
+        for i in range(m):
+            acc = Cv[i][None, :]
+            for j in range(m):
+                acc = acc + T[i, j][None, :] * anc[j] \
+                    + R[i, j][None, :] * epsT[s][j]
+            out.append(acc)
+        return out
+
+    def resample(s0, alpha, lnw):
+        nw = jnp.where(jnp.isfinite(lnw), jnp.exp(lnw), 0.0)
+        cum = jax.lax.dot_general(Ulow, nw, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        cum = jnp.where(last_row, 1.0, cum)
+        u = (rio + usT[s0]) * (1.0 / N)
+        anc = []
+        for i in range(m):
+            rolled = jnp.concatenate([alpha[i][1:], alpha[i][:1]], axis=0)
+            dal = alpha[i] - jnp.where(last_row, 0.0, rolled)
+            rows = [jnp.sum((cum >= u[p][None, :]).astype(f32) * dal,
+                            axis=0) for p in range(N)]
+            anc.append(jnp.stack(rows, axis=0))
+        return anc
+
+    @jax.jit
+    def run():
+        alpha = []
+        for i in range(m):
+            acc = a1[i][None, :]
+            for j in range(m):
+                acc = acc + L1T[i, j][None, :] * epsT[0][j]
+            alpha.append(acc)
+        lnw, ll = weight(0, alpha, jnp.full((N, B), neglogN, f32),
+                         jnp.zeros((1, B), f32))
+        s = 1
+        while s <= n - 1:
+            anc = resample(s, alpha, lnw)
+            alpha = propagate(s, anc)
+            lnw, ll = weight(s, alpha, jnp.full((N, B), neglogN, f32), ll)
+            for s2 in range(s + 1, min(s + kk, n)):
+                alpha = propagate(s2, alpha)
+                lnw, ll = weight(s2, alpha, lnw, ll)
+            s += kk
+        return ll[0]
+
+    return np.asarray(run())
+
+
+@pytest.mark.parametrize("kk", [1, 3])
+def test_bsf_big_kernel_matches_mirror(rng, kk):
+    from bssm_tpu.ops.pallas_kalman import bsf_big_logw_stream
+    n, B, N = 11, 128, 64
+    old = config.fused_kernels
+    try:
+        config.set_fused_kernels(True)
+        specs, als = _ng_batch(rng, n, B, m2=True, family="poisson")
+        m = 2
+        eps = jax.random.normal(jax.random.PRNGKey(1), (B, n, m, N),
+                                jnp.float32)
+        us = jax.random.uniform(jax.random.PRNGKey(2), (B, n, N),
+                                jnp.float32)
+        out = bsf_big_logw_stream(specs, eps, us, kk, interpret=True)
+        assert out is not None
+        ref = _bsf_mirror(specs, eps, us, kk, B, N)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4,
+                                   atol=2e-4)
+    finally:
+        config.set_fused_kernels(old)
