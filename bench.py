@@ -57,13 +57,14 @@ def _probe_device(timeout_s: int = 150, attempts: int = 6) -> bool:
 
 
 def _run_workload(model, jax, n_chains, iters, particles, corr_batch,
-                  label, resample_every=1):
+                  label, resample_every=1, sampling_method="psi"):
     from bssm_tpu.diagnostics.summary import ess_is
     from bssm_tpu.inference.mcmc import run_mcmc
 
     def run(seed):
         return run_mcmc(model, iter=iters, particles=particles,
                         mcmc_type="is2", n_chains=n_chains, seed=seed,
+                        sampling_method=sampling_method,
                         output_type="theta", corr_batch=corr_batch,
                         store_modes=False,
                         psi_resample_every=resample_every)
@@ -97,6 +98,38 @@ def _run_workload(model, jax, n_chains, iters, particles, corr_batch,
         "kernel_tier": ("fused-pallas" if particles <= 32
                         else "fused-pallas-bigN" if particles <= 512
                         else "scan"),
+    }
+
+
+def _run_pm_bsf(model, jax, n_chains, iters, particles, label):
+    from bssm_tpu.inference.mcmc import run_mcmc
+
+    def run(seed):
+        return run_mcmc(model, iter=iters, particles=particles,
+                        mcmc_type="pm", sampling_method="bsf",
+                        n_chains=n_chains, seed=seed, output_type="theta")
+
+    out = None
+    for attempt in range(3):
+        try:
+            run(0)
+            t0 = time.time()
+            out = run(1)
+            elapsed = time.time() - t0
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(30)
+    total = n_chains * iters
+    return {
+        "label": label, "chains": n_chains, "iters": iters,
+        "particles": particles,
+        "samples_per_s": round(total / elapsed, 1),
+        "acceptance": round(float(out.acceptance_rate), 3),
+        "elapsed_s": round(elapsed, 3),
+        "finite": bool(np.all(np.isfinite(out.posterior))),
+        "kernel_tier": "fused-pallas-bigN",
     }
 
 
@@ -152,6 +185,19 @@ def main():
     w256x = _run_workload(model, jax, max(chains // 4, 8), iters, 256,
                           16384, "psi_N256_refexact", resample_every=1)
 
+    # BSF with 200 particles (the reference Table-1 bootstrap config,
+    # `/root/reference/benchmarks/replications.Rmd:27-78`) through the
+    # large-N kernel's bsf mode, as pseudo-marginal MCMC — BSF's natural
+    # role.  A calmer series than the flagship: BSF needs sd(log-lik)
+    # ~<= 1.5 for pm to mix (the flagship's drift gives sd ~2+ at N=200,
+    # which is a property of the estimator, not the kernel).
+    yb = rng.poisson(np.exp(np.cumsum(rng.normal(0, 0.03, n)) + 1.0)
+                     ).astype(float)
+    bmodel = bsm_ng(yb, sd_level=halfnormal_prior(0.05, 0.5),
+                    distribution="poisson", dtype=jnp.float32)
+    wb = _run_pm_bsf(bmodel, jax, max(chains // 4, 8), 500, 200,
+                     "pm_bsf_N200")
+
     # the reference's own 7.71 s anchor is the GAMMA airquality model
     # (`/root/reference/README.md:226-228`) — measure it like-for-like
     from bssm_tpu.core.priors import gamma_prior, normal_prior
@@ -180,8 +226,8 @@ def main():
         "device": str(jax.devices()[0]),
         "tpu": tpu,
         "ess_is_per_s": w10["ess_is_per_s"],
-        "finite": all(w["finite"] for w in (w10, w256, w256x, wg)),
-        "workloads": [w10, w256, w256x, wg],
+        "finite": all(w["finite"] for w in (w10, w256, w256x, wb, wg)),
+        "workloads": [w10, w256, w256x, wb, wg],
     }
     print(json.dumps(result))
     if not tpu:
