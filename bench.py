@@ -8,13 +8,17 @@ one TPU chip — phase 1 through the fused chains-in-lanes Laplace/Kalman
 Pallas kernel, phase 2 (one psi-APF correction per jump-chain head)
 through the fused RTS-factor + psi-filter kernels.
 
-Two workloads (BASELINE.json metric: "samples/s/chip (IS-MCMC, bsm_ng
+Five workloads (BASELINE.json metric: "samples/s/chip (IS-MCMC, bsm_ng
 psi-APF N=256); ESS/s"):
-  - N=10:  the reference README config (its own headline number);
-  - N=256: the BASELINE flagship particle count.
-Each reports samples/s and ESS_IS/s (weight-degeneracy effective samples
-per second — raw samples/s would reward a badly-mixed or badly-weighted
-chain; `diagnostics/summary.ess_is`).
+  - psi_N10: the reference README config (its own headline number);
+  - psi_N256 (+ reference-exact variant): the BASELINE flagship particle
+    count through the large-N kernel;
+  - pm_bsf_N200: the reference Table-1 bootstrap config as pm-MCMC;
+  - gamma_airquality_N10: the exact 7.71 s baseline-anchor model,
+    like-for-like.
+IS rows report samples/s and ESS_IS (weight-degeneracy effective-sample
+fraction — raw samples/s would reward a badly-weighted chain;
+`diagnostics/summary.ess_is`); the pm row reports acceptance.
 
 Prints ONE JSON line.  `device`/`tpu` fields state where it ran; a CPU
 fallback is a FAILED artifact for perf purposes (the probe found the axon
